@@ -1,0 +1,28 @@
+"""TPU-native PaliGemma vision-language framework (JAX/XLA/Pallas).
+
+A from-scratch rebuild of the reference PaliGemma-3B stack
+(PhilipWilliamVentura/multimodal-financial-analysis-tool-using-paligemma)
+designed TPU-first: functional models over parameter pytrees, lax.scan layer
+traversal and decode loops, a preallocated HBM KV cache, Pallas fused kernels
+for the hot ops, and pjit/shard_map sharding for multi-chip scale-out.
+"""
+
+from paligemma_tpu.config import (
+    GemmaConfig,
+    PaliGemmaConfig,
+    SiglipVisionConfig,
+    paligemma_3b_pt_224,
+    tiny_config,
+)
+from paligemma_tpu.models.gemma import KVCache
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "GemmaConfig",
+    "PaliGemmaConfig",
+    "SiglipVisionConfig",
+    "paligemma_3b_pt_224",
+    "tiny_config",
+    "KVCache",
+]

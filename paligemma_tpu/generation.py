@@ -1,0 +1,170 @@
+"""Autoregressive generation drivers.
+
+Two paths, both preserving the reference driver's semantics
+(reference: inference.py:34-85):
+
+- ``generate``: Python-level loop over a jitted prefill + jitted decode step
+  with host-side EOS early exit — the direct analog of ``test_inference``'s
+  token loop (inference.py:55-78). Used by the interactive CLI/app and by the
+  ablation harness (which, like the reference's run_inference at
+  ablation_study_fixed.py:209-251, never early-exits).
+
+- ``generate_scan``: the whole decode loop compiled as one ``lax.scan`` —
+  zero host round-trips per token, the TPU-native fast path. EOS is handled
+  by a done-flag: the scan runs to max length and tokens after EOS are
+  reported via ``num_valid`` (the reference benchmark also always runs to max
+  length: ablation_study_fixed.py:209 has no EOS break).
+
+Greedy outputs of the two paths are bit-identical (tested).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from paligemma_tpu.config import PaliGemmaConfig
+from paligemma_tpu.models import gemma, paligemma
+from paligemma_tpu.models.gemma import KVCache
+from paligemma_tpu.ops.sampling import greedy, sample_top_p
+
+
+class GenerationResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, max_new) int32, padded with EOS/garbage after stop
+    num_valid: jnp.ndarray  # (B,) int32 — tokens generated up to and incl. EOS
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prefill_jit(params, cfg: PaliGemmaConfig, input_ids, pixel_values, cache):
+    return paligemma.prefill(params, cfg, input_ids, pixel_values, cache)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "do_sample", "temperature", "top_p")
+)
+def _decode_and_select(
+    params, cfg: PaliGemmaConfig, token, cache, key, do_sample, temperature, top_p
+):
+    logits, cache = paligemma.decode_step(params, cfg, token, cache)
+    last = logits[:, -1, :]
+    if do_sample and temperature > 0.0:
+        nxt = sample_top_p(last, key, temperature, top_p)
+    else:
+        nxt = greedy(last)
+    return nxt, cache
+
+
+def make_cache(
+    cfg: PaliGemmaConfig,
+    batch: int,
+    prompt_len: int,
+    max_new_tokens: int,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    return gemma.init_cache(
+        cfg.text_config, batch, prompt_len + max_new_tokens, dtype
+    )
+
+
+def generate(
+    params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    max_new_tokens: int,
+    eos_token_id: int,
+    do_sample: bool = False,
+    temperature: float = 0.8,
+    top_p: float = 0.9,
+    key: Optional[jax.Array] = None,
+    cache_dtype=jnp.bfloat16,
+    stop_at_eos: bool = True,
+    step_callback=None,
+) -> Tuple[list, KVCache]:
+    """Python-loop generation with host-side EOS exit (reference: inference.py:55-78).
+
+    ``step_callback(step)`` is invoked after each device-synced step — the
+    hook the ablation harness uses for steady-state timing.
+    Returns (generated token ids as a Python list, final cache).
+    """
+    b, t = input_ids.shape
+    cache = make_cache(cfg, b, t, max_new_tokens, cache_dtype)
+    logits, cache = _prefill_jit(params, cfg, input_ids, pixel_values, cache)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    last = logits[:, -1, :]
+    if do_sample and temperature > 0.0:
+        key, sub = jax.random.split(key)
+        token = sample_top_p(last, sub, temperature, top_p)
+    else:
+        token = greedy(last)
+
+    out = [int(token[0])]
+    if step_callback is not None:
+        step_callback(0)
+    if stop_at_eos and out[-1] == eos_token_id:
+        return out, cache
+
+    for step in range(1, max_new_tokens):
+        key, sub = jax.random.split(key)
+        token, cache = _decode_and_select(
+            params, cfg, token[:, None], cache, sub, do_sample, temperature, top_p
+        )
+        out.append(int(token[0]))  # host sync, like the reference's .item()
+        if step_callback is not None:
+            step_callback(step)
+        if stop_at_eos and out[-1] == eos_token_id:
+            break
+    return out, cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "do_sample", "temperature", "top_p", "eos_token_id"),
+)
+def generate_scan(
+    params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    cache: KVCache,
+    key: jax.Array,
+    max_new_tokens: int,
+    eos_token_id: int,
+    do_sample: bool = False,
+    temperature: float = 0.8,
+    top_p: float = 0.9,
+) -> GenerationResult:
+    """Fully-jitted prefill + scan decode. One XLA program, no host syncs."""
+    b, _ = input_ids.shape
+    logits, cache = paligemma.prefill(params, cfg, input_ids, pixel_values, cache)
+
+    def select(last, k):
+        if do_sample and temperature > 0.0:
+            return sample_top_p(last, k, temperature, top_p)
+        return greedy(last)
+
+    key, sub = jax.random.split(key)
+    first = select(logits[:, -1, :], sub)
+    done0 = first == eos_token_id
+
+    def body(carry, step_key):
+        token, cache, done = carry
+        logits, new_cache = paligemma.decode_step(params, cfg, token[:, None], cache)
+        nxt = select(logits[:, -1, :], step_key)
+        # Freeze output after EOS (matches list semantics: post-EOS ignored).
+        nxt = jnp.where(done, jnp.full_like(nxt, eos_token_id), nxt)
+        new_done = done | (nxt == eos_token_id)
+        return (nxt, new_cache, new_done), (nxt, done)
+
+    keys = jax.random.split(key, max_new_tokens - 1) if max_new_tokens > 1 else jnp.zeros((0, 2), jnp.uint32)
+    (_, cache, _), (rest, was_done) = jax.lax.scan(body, (first, cache, done0), keys)
+    tokens = jnp.concatenate([first[None, :], rest], axis=0).T  # (B, max_new)
+    alive = jnp.concatenate(
+        [jnp.ones((1, b), bool), ~was_done], axis=0
+    ).T  # token t is valid if not done *before* t
+    num_valid = jnp.sum(alive.astype(jnp.int32), axis=-1)
+    return GenerationResult(tokens=tokens.astype(jnp.int32), num_valid=num_valid)

@@ -1,0 +1,266 @@
+"""Gemma decoder (GQA + RoPE + RMSNorm + GeGLU), functional JAX.
+
+Capability parity with the reference decoder (reference: modeling_gemma.py):
+token embedding scaled by sqrt(hidden) (modeling_gemma.py:367-368), per-layer
+pre-RMSNorm blocks (input_layernorm -> GQA attention -> +res ->
+post_attention_layernorm -> GeGLU MLP -> +res, modeling_gemma.py:295-338),
+final RMSNorm, fp32 logits through a weight-tied lm_head
+(modeling_gemma.py:396-397,417-418).
+
+TPU-first design departures:
+- The reference's dynamic ``torch.cat`` KV cache (modeling_gemma.py:10-36,
+  O(T) realloc per step) is replaced by a **preallocated HBM cache**
+  ``(L, B, max_len, kv_heads, head_dim)`` plus a scalar length; decode writes
+  one slot via ``lax.dynamic_update_slice`` and attention masks unwritten
+  slots — static shapes, zero reallocation.
+- All 18 decoder layers are stacked on a leading axis and traversed with
+  ``lax.scan`` (cache slices are scanned xs/ys), compiling one layer body.
+- GQA never materializes ``repeat_kv`` (modeling_gemma.py:136-141); queries
+  are grouped and broadcast against the single KV head inside the einsum.
+- RoPE cos/sin are computed once per forward (fp32) and shared by every
+  layer — the reference re-computes them per layer
+  (modeling_gemma.py:225-229,254).
+
+Parameter tree:
+  embed: (V, D)   (tied lm_head — logits = h @ embed.T, no separate weight)
+  layers (stacked, leading axis L):
+    input_ln: (L, D)
+    q: (L, D, H*hd)   k: (L, D, Hkv*hd)   v: (L, D, Hkv*hd)   o: (L, H*hd, D)
+    post_ln: (L, D)
+    gate: (L, D, I)   up: (L, D, I)   down: (L, I, D)
+  final_norm: (D,)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from paligemma_tpu.config import GemmaConfig
+from paligemma_tpu.ops.attention import gqa_attention, length_mask
+from paligemma_tpu.ops.norms import rms_norm
+from paligemma_tpu.ops.rope import apply_rope, rope_cos_sin
+
+Params = Dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer KV cache resident in HBM.
+
+    k, v: (num_layers, batch, max_len, kv_heads, head_dim)
+    length: () int32 — number of valid cached positions.
+
+    TPU-native replacement for the reference's list-of-concats KVCache
+    (modeling_gemma.py:10-36): fixed shapes keep decode jit-stable and writes
+    are O(1) dynamic_update_slice instead of O(T) concat.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    def num_items(self) -> jnp.ndarray:
+        """Valid cached positions (reference: KVCache.num_items)."""
+        return self.length
+
+
+def init_cache(
+    cfg: GemmaConfig,
+    batch: int,
+    max_len: int,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+def init_params(cfg: GemmaConfig, key: jax.Array, dtype: jnp.dtype = jnp.float32) -> Params:
+    d, i, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    keys = jax.random.split(key, 8)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
+
+    return {
+        "embed": dense(keys[0], (cfg.vocab_size, d), d),
+        "layers": {
+            "input_ln": jnp.zeros((l, d), dtype),
+            "q": dense(keys[1], (l, d, h * hd), d),
+            "k": dense(keys[2], (l, d, hkv * hd), d),
+            "v": dense(keys[3], (l, d, hkv * hd), d),
+            "o": dense(keys[4], (l, h * hd, d), h * hd),
+            "post_ln": jnp.zeros((l, d), dtype),
+            "gate": dense(keys[5], (l, d, i), d),
+            "up": dense(keys[6], (l, d, i), d),
+            "down": dense(keys[7], (l, i, d), i),
+        },
+        "final_norm": jnp.zeros((d,), dtype),
+    }
+
+
+def _proj(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum(
+        "btd,de->bte", x, w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def _attention(
+    cfg: GemmaConfig,
+    lp: Params,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    write_pos: Optional[jnp.ndarray],
+    mask: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """GQA attention for one layer (reference: modeling_gemma.py:201-293).
+
+    With a cache: writes this step's K/V at ``write_pos`` and attends over the
+    whole preallocated buffer under ``mask``. Without: attends over the
+    current sequence only.
+    """
+    b, t, _ = x.shape
+    h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = _proj(x, lp["q"]).reshape(b, t, h, hd)
+    k = _proj(x, lp["k"]).reshape(b, t, hkv, hd)
+    v = _proj(x, lp["v"]).reshape(b, t, hkv, hd)
+
+    # RoPE applied pre-cache, exactly like the reference (modeling_gemma.py:254-259).
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_cache_kv = None
+    if cache_kv is not None:
+        ck, cv = cache_kv  # (B, S, Hkv, hd)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, write_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, write_pos, 0, 0))
+        new_cache_kv = (ck, cv)
+        if t == 1:
+            # Decode: single query attends over the whole preallocated buffer
+            # (unwritten slots masked out by the caller-provided mask).
+            k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+        # Prefill (t > 1, cache starts empty): attend over the fresh K/V only —
+        # exact, because prefill is fully bidirectional over these T tokens —
+        # instead of paying attention FLOPs over max_len padded slots.
+
+    attn = gqa_attention(q, k, v, mask=mask, scale=hd**-0.5)
+    attn = attn.reshape(b, t, h * hd)
+    out = jnp.einsum(
+        "bte,ed->btd", attn, lp["o"], preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return out, new_cache_kv
+
+
+def _mlp(cfg: GemmaConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """GeGLU: down(gelu_tanh(gate(x)) * up(x)) (reference: modeling_gemma.py:122-134)."""
+    gate = _proj(x, lp["gate"])
+    up = _proj(x, lp["up"])
+    act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(x.dtype)
+    return _proj(act * up, lp["down"])
+
+
+def _decoder_layer(
+    cfg: GemmaConfig,
+    lp: Params,
+    h: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    write_pos: Optional[jnp.ndarray],
+    mask: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """Pre-RMSNorm decoder block (reference: modeling_gemma.py:295-338)."""
+    residual = h
+    x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+    attn_out, new_kv = _attention(cfg, lp, x, cos, sin, cache_kv, write_pos, mask)
+    h = residual + attn_out
+    residual = h
+    x = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+    h = residual + _mlp(cfg, lp, x)
+    return h, new_kv
+
+
+def forward(
+    params: Params,
+    cfg: GemmaConfig,
+    inputs_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: Optional[KVCache] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Decoder trunk: embeds -> hidden states (reference: GemmaModel.forward).
+
+    Args:
+      inputs_embeds: (B, T, D) — *unscaled*; scaling by sqrt(D) happens here
+        (reference: modeling_gemma.py:367-368).
+      positions: (B, T) int32 RoPE positions.
+      cache: optional preallocated KVCache; this step's K/V are written at
+        ``cache.length`` and attention spans the whole buffer under ``mask``.
+      mask: optional additive mask broadcastable to (B, Hkv, G, T, S); when
+        None and cache is set, a validity mask over written slots is built
+        automatically. All-zero (bidirectional) semantics otherwise, matching
+        PaliGemma's prefix-LM mask (reference: modeling_gemma.py:506-514).
+
+    Returns:
+      (hidden (B, T, D), updated cache or None)
+    """
+    dtype = inputs_embeds.dtype
+    h = inputs_embeds * jnp.asarray(cfg.hidden_size**0.5, dtype)
+
+    cos, sin = rope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.max_position_embeddings, dtype
+    )
+
+    if cache is not None:
+        t = inputs_embeds.shape[1]
+        write_pos = cache.length
+        if mask is None and t == 1:
+            # Decode: mask unwritten cache slots. Prefill (t > 1) attends over
+            # the fresh K/V bidirectionally and needs no mask (all-zeros mask
+            # semantics, reference: modeling_gemma.py:506-514).
+            mask = length_mask(cache.length + t, cache.max_len, inputs_embeds.shape[0])
+
+        def body(carry, xs):
+            lp, ck, cv = xs
+            new_h, (nk, nv) = _decoder_layer(
+                cfg, lp, carry, cos, sin, (ck, cv), write_pos, mask
+            )
+            return new_h, (nk, nv)
+
+        h, (nk, nv) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(k=nk, v=nv, length=cache.length + t)
+    else:
+
+        def body(carry, lp):
+            new_h, _ = _decoder_layer(cfg, lp, carry, cos, sin, None, None, mask)
+            return new_h, None
+
+        h, _ = jax.lax.scan(body, h, params["layers"])
+        new_cache = None
+
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, new_cache
+
+
+def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Weight-tied lm_head, fp32 logits (reference: modeling_gemma.py:396-418)."""
+    return jnp.einsum(
+        "btd,vd->btv", hidden, params["embed"], preferred_element_type=jnp.float32
+    )
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    """Token embedding lookup (unscaled)."""
+    return jnp.take(params["embed"], input_ids, axis=0)

@@ -1,0 +1,217 @@
+"""PaliGemma fusion model: SigLIP vision tower + projector + Gemma decoder.
+
+Capability parity with the reference top model
+(reference: modeling_gemma.py:429-617):
+- multimodal projector = single biased linear vision_hidden -> projection_dim
+  (modeling_gemma.py:429-438),
+- image features scaled by 1/sqrt(hidden) to cancel the decoder's sqrt(hidden)
+  embedding scaling (modeling_gemma.py:481),
+- image/text merge: image features land where input_ids == image_token_index;
+  text embeddings elsewhere; pad positions zeroed (modeling_gemma.py:483-500).
+  The processor always emits image tokens as a fixed-length *prefix*
+  (processing_paligemma.py:10-11), so the jit path uses a structural concat;
+  a general where-based merge is kept for arbitrary layouts and exactness
+  tests.
+- prefix-LM attention semantics: the mask is all-zeros over valid positions
+  (full bidirectional attention in prefill; decode attends to every cached
+  position) — we implement the *patched* (correct) semantics that produced
+  the published numbers (ablation_study_fixed.py:99-142), including position
+  ids 0..T-1 for prefill and cache-length for decode.
+- optional shifted cross-entropy loss with ignore_index=-100
+  (modeling_gemma.py:596-603).
+
+All public functions here are pure and jittable; wrap them in jax.jit with
+``cfg`` static (it is hashable).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from paligemma_tpu.config import PaliGemmaConfig
+from paligemma_tpu.models import gemma, siglip
+from paligemma_tpu.models.gemma import KVCache
+from paligemma_tpu.ops.attention import MASK_VALUE
+
+Params = Dict[str, Any]
+
+
+def init_params(
+    cfg: PaliGemmaConfig, key: jax.Array, dtype: jnp.dtype = jnp.float32
+) -> Params:
+    kv, kp, kl = jax.random.split(key, 3)
+    vd = cfg.vision_config.hidden_size
+    pd = cfg.projection_dim
+    return {
+        "vision": siglip.init_params(cfg.vision_config, kv, dtype),
+        "projector": {
+            "kernel": (
+                jax.random.normal(kp, (vd, pd), jnp.float32) * vd**-0.5
+            ).astype(dtype),
+            "bias": jnp.zeros((pd,), dtype),
+        },
+        "llm": gemma.init_params(cfg.text_config, kl, dtype),
+    }
+
+
+def encode_image(
+    params: Params, cfg: PaliGemmaConfig, pixel_values: jnp.ndarray
+) -> jnp.ndarray:
+    """Vision tower + projector + 1/sqrt(hidden) scaling.
+
+    (B, C, H, W) -> (B, N_img, hidden). The scaling cancels the decoder's
+    embedding normalizer (reference: modeling_gemma.py:481,567-574).
+    """
+    feats = siglip.apply(params["vision"], cfg.vision_config, pixel_values)
+    kernel = params["projector"]["kernel"]
+    proj = (
+        jnp.einsum(
+            "bnd,de->bne", feats, kernel, preferred_element_type=jnp.float32
+        ).astype(feats.dtype)
+        + params["projector"]["bias"]
+    )
+    return proj / jnp.asarray(cfg.hidden_size**0.5, proj.dtype)
+
+
+def merge_prefix(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    image_features: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fast structural merge: image tokens are a fixed-length prefix.
+
+    The processor templates prompts as ``<image>*N + BOS + prompt + \\n``
+    (reference: processing_paligemma.py:10-11), so positions [0, N_img) are
+    image slots. This is a concat — no scatter, fully static under jit.
+    """
+    n_img = image_features.shape[1]
+    text_embeds = gemma.embed_tokens(params["llm"], input_ids[:, n_img:])
+    return jnp.concatenate(
+        [image_features.astype(text_embeds.dtype), text_embeds], axis=1
+    )
+
+
+def merge_general(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    image_features: jnp.ndarray,
+) -> jnp.ndarray:
+    """General merge for arbitrary image-token layouts (masked-scatter parity).
+
+    Equivalent to the reference's masked_scatter merge
+    (modeling_gemma.py:483-500): the i-th image feature goes to the i-th
+    position whose id equals image_token_index; pad positions are zeroed.
+    """
+    text_embeds = gemma.embed_tokens(params["llm"], input_ids)
+    is_image = input_ids == cfg.image_token_index
+    pad_id = cfg.pad_token_id if cfg.pad_token_id is not None else -1
+    is_pad = input_ids == pad_id
+    # Position of each token among image tokens (0-based); clamp for gather.
+    img_rank = jnp.cumsum(is_image.astype(jnp.int32), axis=-1) - 1
+    img_rank = jnp.clip(img_rank, 0, image_features.shape[1] - 1)
+    gathered = jnp.take_along_axis(
+        image_features.astype(text_embeds.dtype), img_rank[..., None], axis=1
+    )
+    out = jnp.where(is_image[..., None], gathered, text_embeds)
+    return jnp.where(is_pad[..., None], jnp.zeros_like(out), out)
+
+
+def prefill(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Prefill forward: image + templated prompt -> fp32 logits + warm cache.
+
+    Positions are 0..T-1 (patched semantics, ablation_study_fixed.py:134-140);
+    attention is fully bidirectional over the T prefix tokens.
+    """
+    b, t = input_ids.shape
+    image_features = encode_image(params, cfg, pixel_values)
+    embeds = merge_prefix(params, cfg, input_ids, image_features)
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
+    hidden, new_cache = gemma.forward(
+        params["llm"], cfg.text_config, embeds, positions, cache=cache
+    )
+    return gemma.logits(params["llm"], hidden), new_cache
+
+
+def decode_step(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    token: jnp.ndarray,
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step: (B, 1) token -> (B, 1, V) fp32 logits + updated cache.
+
+    Position = cache length (the reference's cumsum-of-ones position,
+    modeling_gemma.py:524-528); attention spans all cached positions plus the
+    new one (all-zeros mask over valid slots).
+    """
+    positions = jnp.broadcast_to(
+        cache.length.astype(jnp.int32)[None, None], (token.shape[0], 1)
+    )
+    embeds = gemma.embed_tokens(params["llm"], token)
+    hidden, new_cache = gemma.forward(
+        params["llm"], cfg.text_config, embeds, positions, cache=cache
+    )
+    return gemma.logits(params["llm"], hidden), new_cache
+
+
+def forward_nocache(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    valid_len: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Cache-free full forward for the KV-cache-off ablation arm.
+
+    Semantically identical to the reference's no-cache loop body
+    (ablation_study_fixed.py:244-251): full bidirectional attention over the
+    whole (padded) sequence, positions 0..T-1. ``valid_len`` masks padding
+    slots so a single padded shape serves every step (jit-stable static
+    shapes); positions past valid_len are don't-cares.
+    """
+    b, t = input_ids.shape
+    image_features = encode_image(params, cfg, pixel_values)
+    embeds = merge_prefix(params, cfg, input_ids, image_features)
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
+    mask = None
+    if valid_len is not None:
+        s = jnp.arange(t)
+        valid = jnp.asarray(valid_len).reshape(-1, 1)
+        m = jnp.where(s[None, :] < valid, 0.0, MASK_VALUE).astype(jnp.float32)
+        if m.shape[0] == 1 and b > 1:
+            m = jnp.broadcast_to(m, (b, t))
+        mask = m[:, None, None, None, :]
+    hidden, _ = gemma.forward(
+        params["llm"], cfg.text_config, embeds, positions, cache=None, mask=mask
+    )
+    return gemma.logits(params["llm"], hidden)
+
+
+def loss_fn(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid_len: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Shifted cross-entropy with ignore_index (reference: modeling_gemma.py:596-603)."""
+    logits = forward_nocache(params, cfg, input_ids, pixel_values, valid_len)
+    shift_logits = logits[:, :-1, :]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != cfg.ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    token_logp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return -jnp.sum(jnp.where(valid, token_logp, 0.0)) / n_valid

@@ -1,0 +1,280 @@
+"""PaliGemma processor: image preprocessing + prompt templating + tokenization.
+
+API-compatible with the reference ``PaliGemmaProcessor``
+(reference: processing_paligemma.py:52-117): registers the ``<image>``
+special token plus 1024 ``<locXXXX>`` and 128 ``<segXXX>`` extra tokens,
+disables tokenizer auto-BOS/EOS, templates prompts as
+``"<image>" * N + BOS + prompt + "\\n"`` and returns
+``{"pixel_values", "input_ids", "attention_mask"}`` — as numpy/JAX arrays
+instead of torch tensors.
+
+Image preprocessing (resize bicubic -> x/255 -> (x-0.5)/0.5 -> CHW,
+reference: processing_paligemma.py:13-50) is provided in two forms:
+- ``process_images``: host-side PIL/numpy path, bit-matching the reference
+  (PIL bicubic resampling).
+- ``preprocess_jit``: a jit-compiled on-device path using
+  ``jax.image.resize(method="bicubic")`` for batched TPU pipelines (resize
+  kernels differ from PIL by design; use the host path when exact parity
+  with the reference matters).
+
+Because this environment has no HF tokenizer assets, ``PaliGemmaProcessor``
+accepts any object implementing the small tokenizer protocol used here
+(an HF ``AutoTokenizer`` satisfies it); ``ByteTokenizer`` is a dependency-free
+stand-in for tests and offline demos.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # PIL is available in this image; gate anyway for minimal installs.
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+IMAGENET_STANDARD_MEAN = [0.5, 0.5, 0.5]
+IMAGENET_STANDARD_STD = [0.5, 0.5, 0.5]
+IMAGE_TOKEN = "<image>"
+
+
+def add_image_tokens_to_prompt(
+    prefix_prompt: str, bos_token: str, image_seq_len: int, image_token: str
+) -> str:
+    """Prompt template (reference: processing_paligemma.py:10-11)."""
+    return f"{image_token * image_seq_len}{bos_token}{prefix_prompt}\n"
+
+
+def resize(image, size: Tuple[int, int], resample=None):
+    """PIL resize to (height, width) (reference: processing_paligemma.py:13-18)."""
+    height, width = size
+    return image.resize((width, height), resample=resample)
+
+
+def rescale(image: np.ndarray, scale: float, dtype=np.float32) -> np.ndarray:
+    return (image * scale).astype(dtype)
+
+
+def normalize(
+    image: np.ndarray, mean: Iterable[float], std: Iterable[float]
+) -> np.ndarray:
+    mean = np.array(mean, dtype=image.dtype)
+    std = np.array(std, dtype=image.dtype)
+    return (image - mean) / std
+
+
+def process_images(
+    images: Sequence,
+    size: Tuple[int, int],
+    resample=None,
+    rescale_factor: float = 1 / 255.0,
+    image_mean=IMAGENET_STANDARD_MEAN,
+    image_std=IMAGENET_STANDARD_STD,
+) -> List[np.ndarray]:
+    """Host preprocessing pipeline (reference: processing_paligemma.py:31-50).
+
+    resize -> np.array -> x*1/255 -> (x-mean)/std -> HWC->CHW, per image.
+    """
+    if resample is None and Image is not None:
+        resample = Image.Resampling.BICUBIC
+    out = []
+    for image in images:
+        img = resize(image, size=size, resample=resample)
+        arr = np.array(img)
+        arr = rescale(arr, scale=rescale_factor)
+        arr = normalize(arr, mean=image_mean, std=image_std)
+        out.append(arr.transpose(2, 0, 1))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def preprocess_jit(raw_images, height: int, width: int):
+    """On-device batched preprocessing: (B, H0, W0, 3) uint8 -> (B, 3, H, W) f32.
+
+    Fused resize/rescale/normalize compiled by XLA — the TPU-native analog of
+    the host pipeline for batched serving. Bicubic resize kernel is XLA's,
+    not PIL's (small pixel-level differences are expected and tested for).
+    """
+    x = raw_images.astype(jnp.float32)
+    b = x.shape[0]
+    x = jax.image.resize(x, (b, height, width, 3), method="bicubic")
+    x = x / 255.0
+    mean = jnp.asarray(IMAGENET_STANDARD_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STANDARD_STD, jnp.float32)
+    x = (x - mean) / std
+    return x.transpose(0, 3, 1, 2)
+
+
+class ByteTokenizer:
+    """Self-contained byte-level tokenizer implementing the HF protocol subset
+    the processor needs. Layout: ids 0..255 = raw bytes, then specials.
+
+    Used for tests and offline demos where the Gemma sentencepiece assets are
+    unavailable; any HF ``AutoTokenizer`` can be dropped in instead.
+    """
+
+    def __init__(self):
+        self._token_to_id = {}
+        self._id_to_token = {}
+        self.bos_token = "<bos>"
+        self.eos_token = "<eos>"
+        self.pad_token = "<pad>"
+        self._next_id = 256
+        for tok in [self.pad_token, self.bos_token, self.eos_token]:
+            self._add(tok)
+        self.add_bos_token = True
+        self.add_eos_token = False
+
+    def _add(self, token: str) -> int:
+        if token not in self._token_to_id:
+            self._token_to_id[token] = self._next_id
+            self._id_to_token[self._next_id] = token
+            self._next_id += 1
+        return self._token_to_id[token]
+
+    @property
+    def bos_token_id(self) -> int:
+        return self._token_to_id[self.bos_token]
+
+    @property
+    def eos_token_id(self) -> int:
+        return self._token_to_id[self.eos_token]
+
+    @property
+    def pad_token_id(self) -> int:
+        return self._token_to_id[self.pad_token]
+
+    @property
+    def vocab_size(self) -> int:
+        return self._next_id
+
+    def add_special_tokens(self, tokens_to_add: dict) -> int:
+        added = 0
+        for tok in tokens_to_add.get("additional_special_tokens", []):
+            self._add(tok)
+            added += 1
+        return added
+
+    def add_tokens(self, tokens: List[str]) -> int:
+        for tok in tokens:
+            self._add(tok)
+        return len(tokens)
+
+    def convert_tokens_to_ids(self, token: str) -> int:
+        return self._token_to_id[token]
+
+    def _tokenize_one(self, text: str) -> List[int]:
+        ids: List[int] = []
+        i = 0
+        specials = sorted(self._token_to_id, key=len, reverse=True)
+        while i < len(text):
+            matched = False
+            if text[i] == "<":
+                for sp in specials:
+                    if text.startswith(sp, i):
+                        ids.append(self._token_to_id[sp])
+                        i += len(sp)
+                        matched = True
+                        break
+            if not matched:
+                ids.extend(text[i].encode("utf-8"))
+                i += 1
+        if self.add_bos_token:
+            ids = [self.bos_token_id] + ids
+        if self.add_eos_token:
+            ids = ids + [self.eos_token_id]
+        return ids
+
+    def __call__(self, texts, padding="longest", truncation=True, return_tensors=None):
+        seqs = [self._tokenize_one(t) for t in texts]
+        max_len = max(len(s) for s in seqs)
+        input_ids = np.full((len(seqs), max_len), self.pad_token_id, np.int32)
+        attention_mask = np.zeros((len(seqs), max_len), np.int32)
+        for i, s in enumerate(seqs):
+            input_ids[i, : len(s)] = s
+            attention_mask[i, : len(s)] = 1
+        return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        raw = bytearray()
+        out = []
+        for i in np.asarray(ids).reshape(-1).tolist():
+            if i < 256:
+                raw.append(i)
+            else:
+                if raw:
+                    out.append(raw.decode("utf-8", errors="replace"))
+                    raw = bytearray()
+                if not skip_special_tokens:
+                    out.append(self._id_to_token.get(int(i), ""))
+        if raw:
+            out.append(raw.decode("utf-8", errors="replace"))
+        return "".join(out)
+
+
+class PaliGemmaProcessor:
+    """Image + prompt -> model inputs (reference: processing_paligemma.py:52-117)."""
+
+    IMAGE_TOKEN = IMAGE_TOKEN
+
+    def __init__(self, tokenizer, num_image_tokens: int, image_size: int):
+        self.image_seq_length = num_image_tokens
+        self.image_size = image_size
+
+        tokenizer.add_special_tokens(
+            {"additional_special_tokens": [self.IMAGE_TOKEN]}
+        )
+        extra = [f"<loc{i:04d}>" for i in range(1024)]
+        extra += [f"<seg{i:03d}>" for i in range(128)]
+        tokenizer.add_tokens(extra)
+        self.image_token_id = tokenizer.convert_tokens_to_ids(self.IMAGE_TOKEN)
+        tokenizer.add_bos_token = False
+        tokenizer.add_eos_token = False
+        self.tokenizer = tokenizer
+
+    def __call__(
+        self,
+        text: List[str],
+        images: List,
+        padding: str = "longest",
+        truncation: bool = True,
+    ) -> dict:
+        assert len(images) == len(text), (
+            f"Received {len(images)} images for {len(text)} prompts."
+        )
+
+        pixel_values = process_images(
+            images,
+            size=(self.image_size, self.image_size),
+            rescale_factor=1 / 255.0,
+            image_mean=IMAGENET_STANDARD_MEAN,
+            image_std=IMAGENET_STANDARD_STD,
+        )
+        pixel_values = np.stack(pixel_values, axis=0)
+
+        input_strings = [
+            add_image_tokens_to_prompt(
+                prefix_prompt=prompt,
+                bos_token=self.tokenizer.bos_token,
+                image_seq_len=self.image_seq_length,
+                image_token=self.IMAGE_TOKEN,
+            )
+            for prompt in text
+        ]
+
+        inputs = self.tokenizer(
+            input_strings, padding=padding, truncation=truncation
+        )
+        input_ids = np.asarray(inputs["input_ids"], np.int32)
+        attention_mask = np.asarray(inputs["attention_mask"], np.int32)
+        # Remap the tokenizer's <image> id onto the model's image_token_index
+        # happens at model level via cfg.image_token_index == tokenizer id for
+        # real checkpoints; for the byte tokenizer callers align the config.
+        return {
+            "pixel_values": pixel_values,
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+        }

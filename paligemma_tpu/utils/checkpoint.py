@@ -1,0 +1,247 @@
+"""Checkpoint IO: HF safetensors -> JAX parameter pytree, and native save/load.
+
+Load-side parity with the reference's two loaders (reference: utils.py:6-46
+and ablation_study_fixed.py:295-351): reads ``config.json`` into
+``PaliGemmaConfig``, streams every ``*.safetensors`` shard, converts to the
+requested dtype, and ties ``lm_head`` to the token embedding
+(modeling_gemma.py:396-397 — we never materialize a separate lm_head at all).
+
+Key mapping (HF torch checkpoint -> our stacked pytree):
+- torch ``nn.Linear`` stores (out, in); our kernels are (in, out) for
+  ``x @ W`` — transposed on load.
+- the patch-embedding conv stores (D, C, P, P); flattened to (C*P*P, D) to
+  match ``siglip.extract_patches`` ordering.
+- per-layer tensors ``...layers.{i}....`` are stacked along a new leading
+  axis so the models' ``lax.scan`` traversal sees (L, ...) leaves.
+
+Save-side: ``save_params`` / ``load_params`` round-trip our pytree through a
+flat safetensors file (plus a small JSON manifest) — used by the LoRA
+checkpoint path's robust 3-tier save (see paligemma_tpu/lora.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from paligemma_tpu.config import PaliGemmaConfig
+
+
+def _to_numpy(t) -> np.ndarray:
+    """torch tensor (possibly bf16) or ndarray -> numpy, preserving values."""
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor
+    if t.dtype.__str__() == "torch.bfloat16":
+        return t.float().numpy()
+    return t.numpy()
+
+
+def load_safetensors_shards(model_path: str) -> Dict[str, np.ndarray]:
+    """Read all *.safetensors shards into one flat dict of numpy arrays."""
+    from safetensors import safe_open
+
+    files = sorted(Path(model_path).glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors shards under {model_path}")
+    flat: Dict[str, np.ndarray] = {}
+    for f in files:
+        with safe_open(str(f), framework="np") as reader:
+            for key in reader.keys():
+                flat[key] = reader.get_tensor(key)
+    return flat
+
+
+def _stack(flat: Dict[str, np.ndarray], template: str, num_layers: int) -> np.ndarray:
+    return np.stack([flat[template.format(i=i)] for i in range(num_layers)], axis=0)
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    """torch (out, in) -> (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def _stack_linear(flat, template, num_layers) -> np.ndarray:
+    return np.stack(
+        [_linear(flat[template.format(i=i)]) for i in range(num_layers)], axis=0
+    )
+
+
+def hf_to_params(
+    flat: Dict[str, np.ndarray],
+    cfg: PaliGemmaConfig,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Map a flat HF PaliGemma state dict to our parameter pytree."""
+    vcfg, tcfg = cfg.vision_config, cfg.text_config
+    vl, tl = vcfg.num_hidden_layers, tcfg.num_hidden_layers
+
+    vp = "vision_tower.vision_model"
+    conv_w = flat[f"{vp}.embeddings.patch_embedding.weight"]  # (D, C, P, P)
+    d = conv_w.shape[0]
+    patch_kernel = conv_w.reshape(d, -1).T  # (C*P*P, D)
+
+    def vattn(name):
+        return {
+            "kernel": _stack_linear(
+                flat, f"{vp}.encoder.layers.{{i}}.self_attn.{name}_proj.weight", vl
+            ),
+            "bias": _stack(
+                flat, f"{vp}.encoder.layers.{{i}}.self_attn.{name}_proj.bias", vl
+            ),
+        }
+
+    vision = {
+        "patch_embedding": {
+            "kernel": patch_kernel,
+            "bias": flat[f"{vp}.embeddings.patch_embedding.bias"],
+        },
+        "position_embedding": flat[f"{vp}.embeddings.position_embedding.weight"],
+        "layers": {
+            "ln1": {
+                "scale": _stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm1.weight", vl),
+                "bias": _stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm1.bias", vl),
+            },
+            "attn": {
+                "q": vattn("q"),
+                "k": vattn("k"),
+                "v": vattn("v"),
+                "o": vattn("out"),
+            },
+            "ln2": {
+                "scale": _stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm2.weight", vl),
+                "bias": _stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm2.bias", vl),
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": _stack_linear(
+                        flat, f"{vp}.encoder.layers.{{i}}.mlp.fc1.weight", vl
+                    ),
+                    "bias": _stack(flat, f"{vp}.encoder.layers.{{i}}.mlp.fc1.bias", vl),
+                },
+                "fc2": {
+                    "kernel": _stack_linear(
+                        flat, f"{vp}.encoder.layers.{{i}}.mlp.fc2.weight", vl
+                    ),
+                    "bias": _stack(flat, f"{vp}.encoder.layers.{{i}}.mlp.fc2.bias", vl),
+                },
+            },
+        },
+        "post_layernorm": {
+            "scale": flat[f"{vp}.post_layernorm.weight"],
+            "bias": flat[f"{vp}.post_layernorm.bias"],
+        },
+    }
+
+    lp = "language_model.model"
+    llm = {
+        "embed": flat[f"{lp}.embed_tokens.weight"],
+        "layers": {
+            "input_ln": _stack(flat, f"{lp}.layers.{{i}}.input_layernorm.weight", tl),
+            "q": _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.q_proj.weight", tl),
+            "k": _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.k_proj.weight", tl),
+            "v": _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.v_proj.weight", tl),
+            "o": _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.o_proj.weight", tl),
+            "post_ln": _stack(
+                flat, f"{lp}.layers.{{i}}.post_attention_layernorm.weight", tl
+            ),
+            "gate": _stack_linear(flat, f"{lp}.layers.{{i}}.mlp.gate_proj.weight", tl),
+            "up": _stack_linear(flat, f"{lp}.layers.{{i}}.mlp.up_proj.weight", tl),
+            "down": _stack_linear(flat, f"{lp}.layers.{{i}}.mlp.down_proj.weight", tl),
+        },
+        "final_norm": flat[f"{lp}.norm.weight"],
+    }
+
+    params = {
+        "vision": vision,
+        "projector": {
+            "kernel": _linear(flat["multi_modal_projector.linear.weight"]),
+            "bias": flat["multi_modal_projector.linear.bias"],
+        },
+        "llm": llm,
+    }
+
+    import jax
+
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+
+
+def load_model(
+    model_path: str, dtype: jnp.dtype = jnp.bfloat16
+) -> Tuple[Dict[str, Any], PaliGemmaConfig]:
+    """Full load: config.json + safetensors shards -> (params, config).
+
+    The analog of ``load_hf_model`` (reference: utils.py:6-46) minus the
+    tokenizer (pass an HF ``AutoTokenizer`` into ``PaliGemmaProcessor``
+    yourself when its assets are available).
+    """
+    cfg = PaliGemmaConfig.from_json(os.path.join(model_path, "config.json"))
+    flat = load_safetensors_shards(model_path)
+    return hf_to_params(flat, cfg, dtype), cfg
+
+
+# ---------------------------------------------------------------------------
+# Native pytree save/load (flat safetensors).
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params(params: Dict[str, Any], path: str) -> None:
+    """Save a parameter pytree as one flat safetensors file."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(params)
+    # bf16 unsupported by safetensors-numpy: store as f32 with a manifest.
+    manifest = {}
+    out = {}
+    for k, v in flat.items():
+        if v.dtype == jnp.bfloat16:
+            manifest[k] = "bfloat16"
+            out[k] = np.asarray(v, np.float32)
+        else:
+            out[k] = v
+    save_file(out, path)
+    with open(path + ".json", "w") as f:
+        json.dump({"bfloat16_keys": sorted(manifest)}, f)
+
+
+def load_params(path: str) -> Dict[str, Any]:
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    bf16_keys = set()
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            bf16_keys = set(json.load(f).get("bfloat16_keys", []))
+    flat_jnp = {
+        k: jnp.asarray(v, jnp.bfloat16 if k in bf16_keys else v.dtype)
+        for k, v in flat.items()
+    }
+    return _unflatten(flat_jnp)

@@ -1,0 +1,116 @@
+"""Golden-logit parity vs HF transformers (torch CPU) — the independent oracle.
+
+The reference is itself a reimplementation of HF's PaliGemma loaded from the
+``paligemma-3b-pt-224`` checkpoint (reference: utils.py:6-46); HF transformers
+is therefore the ground-truth semantics for the same checkpoint format. These
+tests save a tiny randomly-initialized HF PaliGemma with ``save_pretrained``
+(which writes the exact hub key layout), load it through our
+``utils.checkpoint.load_model``, and require:
+
+- vision tower hidden states within 1e-4,
+- prefill logits within 1e-3 (the BASELINE.md fidelity bar),
+- greedy decode token identity over 8 steps.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from paligemma_tpu import generation
+from paligemma_tpu.models import paligemma, siglip
+from paligemma_tpu.utils.checkpoint import load_model
+
+
+@pytest.fixture(scope="module")
+def hf_setup(tmp_path_factory):
+    from transformers import (
+        PaliGemmaConfig as HFPaliGemmaConfig,
+        PaliGemmaForConditionalGeneration,
+    )
+
+    hf_cfg = HFPaliGemmaConfig(
+        vision_config=dict(
+            hidden_size=24,
+            intermediate_size=48,
+            num_attention_heads=4,
+            num_hidden_layers=2,
+            patch_size=8,
+            image_size=32,
+            projection_dim=32,
+        ),
+        text_config=dict(
+            hidden_size=32,
+            intermediate_size=64,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=8,
+            num_hidden_layers=2,
+            vocab_size=260,
+            max_position_embeddings=512,
+        ),
+        image_token_index=256,
+        pad_token_id=0,
+        projection_dim=32,
+        hidden_size=32,
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    model = PaliGemmaForConditionalGeneration(hf_cfg).eval()
+    path = tmp_path_factory.mktemp("hf_ckpt")
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    params, cfg = load_model(str(path), dtype=jnp.float32)
+
+    n_img = cfg.vision_config.num_image_tokens
+    rng = np.random.RandomState(0)
+    text_ids = rng.randint(2, 250, size=(1, 7))
+    ids = np.concatenate(
+        [np.full((1, n_img), cfg.image_token_index), text_ids], axis=1
+    ).astype(np.int64)
+    pix = rng.randn(1, 3, 32, 32).astype(np.float32)
+    return model, params, cfg, ids, pix
+
+
+def test_vision_tower_parity(hf_setup):
+    model, params, cfg, ids, pix = hf_setup
+    with torch.no_grad():
+        hf_out = model.vision_tower(torch.from_numpy(pix)).last_hidden_state.numpy()
+    ours = np.asarray(siglip.apply(params["vision"], cfg.vision_config, jnp.asarray(pix)))
+    np.testing.assert_allclose(ours, hf_out, rtol=1e-4, atol=1e-4)
+
+
+def test_prefill_logit_parity(hf_setup):
+    model, params, cfg, ids, pix = hf_setup
+    with torch.no_grad():
+        hf_logits = model(
+            input_ids=torch.from_numpy(ids),
+            pixel_values=torch.from_numpy(pix),
+            attention_mask=torch.ones_like(torch.from_numpy(ids)),
+        ).logits.numpy()
+    cache = generation.make_cache(cfg, 1, ids.shape[1], 4, jnp.float32)
+    ours, _ = paligemma.prefill(params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(pix), cache)
+    ours = np.asarray(ours)
+    assert ours.shape == hf_logits.shape
+    np.testing.assert_allclose(ours, hf_logits, rtol=1e-3, atol=1e-3)
+
+
+def test_greedy_decode_token_parity(hf_setup):
+    model, params, cfg, ids, pix = hf_setup
+    with torch.no_grad():
+        hf_tokens = model.generate(
+            input_ids=torch.from_numpy(ids),
+            pixel_values=torch.from_numpy(pix),
+            attention_mask=torch.ones_like(torch.from_numpy(ids)),
+            max_new_tokens=8,
+            do_sample=False,
+        )[0, ids.shape[1]:].tolist()
+    ours, _ = generation.generate(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(pix),
+        max_new_tokens=8, eos_token_id=-1, cache_dtype=jnp.float32,
+        stop_at_eos=False,
+    )
+    assert ours == hf_tokens
