@@ -36,9 +36,13 @@ class GenerationResult(NamedTuple):
     num_valid: jnp.ndarray  # (B,) int32 — tokens generated up to and incl. EOS
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _prefill_jit(params, cfg: PaliGemmaConfig, input_ids, pixel_values, cache):
-    return paligemma.prefill(params, cfg, input_ids, pixel_values, cache)
+@functools.partial(jax.jit, static_argnames=("cfg", "full_logits"))
+def _prefill_jit(
+    params, cfg: PaliGemmaConfig, input_ids, pixel_values, cache, full_logits=False
+):
+    return paligemma.prefill(
+        params, cfg, input_ids, pixel_values, cache, full_logits=full_logits
+    )
 
 
 @functools.partial(
@@ -140,7 +144,9 @@ def generate_scan(
 ) -> GenerationResult:
     """Fully-jitted prefill + scan decode. One XLA program, no host syncs."""
     b, _ = input_ids.shape
-    logits, cache = paligemma.prefill(params, cfg, input_ids, pixel_values, cache)
+    logits, cache = paligemma.prefill(
+        params, cfg, input_ids, pixel_values, cache, full_logits=False
+    )
 
     def select(last, k):
         if do_sample and temperature > 0.0:
