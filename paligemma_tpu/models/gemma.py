@@ -114,6 +114,34 @@ def _proj(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     ).astype(x.dtype)
 
 
+def _lora_delta(
+    x: jnp.ndarray,
+    adapter: Params,
+    scale: jnp.ndarray,
+    dropout_rate: float,
+    key: Optional[jax.Array],
+) -> jnp.ndarray:
+    """LoRA update ``scale * (drop(x) @ A) @ B`` (rank-r bottleneck).
+
+    Matches HF peft's LoraLayer semantics used by the reference finetune
+    (SURVEY.md §2.9: r=8, alpha=16, dropout 0.1 on the A-input,
+    scale = alpha/r).
+    """
+    xl = x
+    if dropout_rate > 0.0 and key is not None:
+        keep = jax.random.bernoulli(key, 1.0 - dropout_rate, x.shape)
+        xl = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
+    low = jnp.einsum(
+        "btd,dr->btr", xl, adapter["a"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    out = jnp.einsum(
+        "btr,re->bte", low, adapter["b"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return out * jnp.asarray(scale, x.dtype)
+
+
 def _attention(
     cfg: GemmaConfig,
     lp: Params,
@@ -123,19 +151,31 @@ def _attention(
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     write_pos: Optional[jnp.ndarray],
     mask: Optional[jnp.ndarray],
+    lora: Optional[Params] = None,
+    lora_scale: float = 1.0,
+    lora_dropout: float = 0.0,
+    lora_key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """GQA attention for one layer (reference: modeling_gemma.py:201-293).
 
     With a cache: writes this step's K/V at ``write_pos`` and attends over the
     whole preallocated buffer under ``mask``. Without: attends over the
-    current sequence only.
+    current sequence only. Optional LoRA adapters on the q/k/v projections
+    (the reference finetune's target_modules, SURVEY.md §2.9).
     """
     b, t, _ = x.shape
     h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = _proj(x, lp["q"]).reshape(b, t, h, hd)
-    k = _proj(x, lp["k"]).reshape(b, t, hkv, hd)
-    v = _proj(x, lp["v"]).reshape(b, t, hkv, hd)
+    q = _proj(x, lp["q"])
+    k = _proj(x, lp["k"])
+    v = _proj(x, lp["v"])
+    if lora is not None:
+        q = q + _lora_delta(x, lora["q"], lora_scale, lora_dropout, lora_key)
+        k = k + _lora_delta(x, lora["k"], lora_scale, lora_dropout, lora_key)
+        v = v + _lora_delta(x, lora["v"], lora_scale, lora_dropout, lora_key)
+    q = q.reshape(b, t, h, hd)
+    k = k.reshape(b, t, hkv, hd)
+    v = v.reshape(b, t, hkv, hd)
 
     # RoPE applied pre-cache, exactly like the reference (modeling_gemma.py:254-259).
     q = apply_rope(q, cos, sin)
@@ -180,11 +220,18 @@ def _decoder_layer(
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     write_pos: Optional[jnp.ndarray],
     mask: Optional[jnp.ndarray],
+    lora: Optional[Params] = None,
+    lora_scale: float = 1.0,
+    lora_dropout: float = 0.0,
+    lora_key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Pre-RMSNorm decoder block (reference: modeling_gemma.py:295-338)."""
     residual = h
     x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
-    attn_out, new_kv = _attention(cfg, lp, x, cos, sin, cache_kv, write_pos, mask)
+    attn_out, new_kv = _attention(
+        cfg, lp, x, cos, sin, cache_kv, write_pos, mask,
+        lora, lora_scale, lora_dropout, lora_key,
+    )
     h = residual + attn_out
     residual = h
     x = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
@@ -199,6 +246,10 @@ def forward(
     positions: jnp.ndarray,
     cache: Optional[KVCache] = None,
     mask: Optional[jnp.ndarray] = None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 1.0,
+    lora_dropout: float = 0.0,
+    lora_keys: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Decoder trunk: embeds -> hidden states (reference: GemmaModel.forward).
 
@@ -223,31 +274,38 @@ def forward(
         positions, cfg.head_dim, cfg.rope_theta, cfg.max_position_embeddings, dtype
     )
 
-    if cache is not None:
+    use_cache = cache is not None
+    use_lora = lora is not None
+    write_pos = cache.length if use_cache else None
+    if use_cache:
         t = inputs_embeds.shape[1]
-        write_pos = cache.length
         if mask is None and t == 1:
             # Decode: mask unwritten cache slots. Prefill (t > 1) attends over
             # the fresh K/V bidirectionally and needs no mask (all-zeros mask
             # semantics, reference: modeling_gemma.py:506-514).
             mask = length_mask(cache.length + t, cache.max_len, inputs_embeds.shape[0])
 
-        def body(carry, xs):
-            lp, ck, cv = xs
-            new_h, (nk, nv) = _decoder_layer(
-                cfg, lp, carry, cos, sin, (ck, cv), write_pos, mask
-            )
-            return new_h, (nk, nv)
+    xs: Dict[str, Any] = {"lp": params["layers"]}
+    if use_cache:
+        xs["ck"], xs["cv"] = cache.k, cache.v
+    if use_lora:
+        xs["lora"] = lora["layers"] if "layers" in lora else lora
+        if lora_keys is not None:
+            xs["lkey"] = lora_keys
 
-        h, (nk, nv) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
-        new_cache = KVCache(k=nk, v=nv, length=cache.length + t)
+    def body(carry, x):
+        cache_kv = (x["ck"], x["cv"]) if use_cache else None
+        new_h, new_kv = _decoder_layer(
+            cfg, x["lp"], carry, cos, sin, cache_kv, write_pos, mask,
+            x.get("lora"), lora_scale, lora_dropout, x.get("lkey"),
+        )
+        return new_h, (new_kv if use_cache else None)
+
+    h, ys = jax.lax.scan(body, h, xs)
+    if use_cache:
+        nk, nv = ys
+        new_cache = KVCache(k=nk, v=nv, length=cache.length + inputs_embeds.shape[1])
     else:
-
-        def body(carry, lp):
-            new_h, _ = _decoder_layer(cfg, lp, carry, cos, sin, None, None, mask)
-            return new_h, None
-
-        h, _ = jax.lax.scan(body, h, params["layers"])
         new_cache = None
 
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)

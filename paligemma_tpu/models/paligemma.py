@@ -178,6 +178,10 @@ def forward_nocache(
     input_ids: jnp.ndarray,
     pixel_values: jnp.ndarray,
     valid_len: Optional[jnp.ndarray] = None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 1.0,
+    lora_dropout: float = 0.0,
+    lora_keys: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Cache-free full forward for the KV-cache-off ablation arm.
 
@@ -200,7 +204,9 @@ def forward_nocache(
             m = jnp.broadcast_to(m, (b, t))
         mask = m[:, None, None, None, :]
     hidden, _ = gemma.forward(
-        params["llm"], cfg.text_config, embeds, positions, cache=None, mask=mask
+        params["llm"], cfg.text_config, embeds, positions, cache=None, mask=mask,
+        lora=lora, lora_scale=lora_scale, lora_dropout=lora_dropout,
+        lora_keys=lora_keys,
     )
     return gemma.logits(params["llm"], hidden)
 
@@ -212,9 +218,17 @@ def loss_fn(
     pixel_values: jnp.ndarray,
     labels: jnp.ndarray,
     valid_len: Optional[jnp.ndarray] = None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 1.0,
+    lora_dropout: float = 0.0,
+    lora_keys: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Shifted cross-entropy with ignore_index (reference: modeling_gemma.py:596-603)."""
-    logits = forward_nocache(params, cfg, input_ids, pixel_values, valid_len)
+    logits = forward_nocache(
+        params, cfg, input_ids, pixel_values, valid_len,
+        lora=lora, lora_scale=lora_scale, lora_dropout=lora_dropout,
+        lora_keys=lora_keys,
+    )
     shift_logits = logits[:, :-1, :]
     shift_labels = labels[:, 1:]
     valid = shift_labels != cfg.ignore_index

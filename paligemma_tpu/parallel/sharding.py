@@ -1,0 +1,135 @@
+"""Sharding rules: how the PaliGemma parameter pytree maps onto the mesh.
+
+Megatron-style tensor parallelism expressed as GSPMD sharding annotations:
+- attention q / MLP gate+up kernels: column-parallel (output dim on MODEL),
+- attention o / MLP down kernels: row-parallel (input dim on MODEL),
+- K/V kernels: output dim (kv_heads*head_dim) on MODEL when divisible —
+  for Gemma-2B's single KV head this shards head_dim; GSPMD inserts the
+  psum for the split contraction,
+- token embedding: vocab-parallel (doubles as the tied lm_head shard),
+- norms / biases / small tensors: replicated,
+- activations & KV cache: batch on DATA, head dims on MODEL.
+
+XLA/GSPMD materializes the collectives (all-reduce after row-parallel
+matmuls, all-gather where layouts meet) over ICI; nothing here issues a
+communication primitive by hand. The reference has no distributed path at
+all (SURVEY.md §2.10) — this is pure TPU-native headroom.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from paligemma_tpu.config import PaliGemmaConfig
+from paligemma_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def _div(n: int, mesh: Mesh) -> bool:
+    return n % mesh.shape[MODEL_AXIS] == 0
+
+
+def param_shardings(cfg: PaliGemmaConfig, mesh: Mesh) -> Dict[str, Any]:
+    """NamedSharding pytree matching ``paligemma.init_params`` structure."""
+    tc, vc = cfg.text_config, cfg.vision_config
+    rep = _ns(mesh)  # replicated
+    col = _ns(mesh, None, None, MODEL_AXIS)  # (L, in, out): shard out
+    row = _ns(mesh, None, MODEL_AXIS, None)  # (L, in, out): shard in
+
+    kv_out = tc.num_key_value_heads * tc.head_dim
+    kv_spec = col if _div(kv_out, mesh) else rep
+
+    vision = {
+        "patch_embedding": {"kernel": rep, "bias": rep},
+        "position_embedding": rep,
+        "layers": {
+            "ln1": {"scale": rep, "bias": rep},
+            "attn": {
+                "q": {"kernel": col if _div(vc.hidden_size, mesh) else rep, "bias": rep},
+                "k": {"kernel": col if _div(vc.hidden_size, mesh) else rep, "bias": rep},
+                "v": {"kernel": col if _div(vc.hidden_size, mesh) else rep, "bias": rep},
+                "o": {"kernel": row if _div(vc.hidden_size, mesh) else rep, "bias": rep},
+            },
+            "ln2": {"scale": rep, "bias": rep},
+            "mlp": {
+                "fc1": {
+                    "kernel": col if _div(vc.intermediate_size, mesh) else rep,
+                    "bias": rep,
+                },
+                "fc2": {
+                    "kernel": row if _div(vc.intermediate_size, mesh) else rep,
+                    "bias": rep,
+                },
+            },
+        },
+        "post_layernorm": {"scale": rep, "bias": rep},
+    }
+
+    q_out = tc.num_attention_heads * tc.head_dim
+    llm = {
+        "embed": _ns(mesh, MODEL_AXIS, None) if _div(tc.vocab_size, mesh) else rep,
+        "layers": {
+            "input_ln": rep,
+            "q": col if _div(q_out, mesh) else rep,
+            "k": kv_spec,
+            "v": kv_spec,
+            "o": row if _div(q_out, mesh) else rep,
+            "post_ln": rep,
+            "gate": col if _div(tc.intermediate_size, mesh) else rep,
+            "up": col if _div(tc.intermediate_size, mesh) else rep,
+            "down": row if _div(tc.intermediate_size, mesh) else rep,
+        },
+        "final_norm": rep,
+    }
+
+    return {
+        "vision": vision,
+        "projector": {"kernel": rep, "bias": rep},
+        "llm": llm,
+    }
+
+
+def lora_shardings(cfg: PaliGemmaConfig, mesh: Mesh) -> Dict[str, Any]:
+    """Shardings for the LoRA adapter pytree (paligemma_tpu.lora).
+
+    A-matrices (L, D, r) are replicated (r is tiny); B-matrices (L, r, out)
+    follow the column-parallel layout of the base kernel they adapt.
+    """
+    tc = cfg.text_config
+    rep = _ns(mesh)
+    col = _ns(mesh, None, None, MODEL_AXIS)
+    q_out = tc.num_attention_heads * tc.head_dim
+    kv_out = tc.num_key_value_heads * tc.head_dim
+
+    def pair(out_dim):
+        return {"a": rep, "b": col if _div(out_dim, mesh) else rep}
+
+    return {
+        "layers": {
+            "q": pair(q_out),
+            "k": pair(kv_out),
+            "v": pair(kv_out),
+        }
+    }
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) DATA sharding for inputs/labels."""
+    return _ns(mesh, DATA_AXIS)
+
+
+def cache_shardings(mesh: Mesh) -> Any:
+    """KVCache sharding: batch on DATA; (L, B, S, Hkv, hd) leaves."""
+    from paligemma_tpu.models.gemma import KVCache
+
+    kv = _ns(mesh, None, DATA_AXIS, None, None, None)
+    return KVCache(k=kv, v=kv, length=_ns(mesh))
+
+
+def shard_params(params: Dict[str, Any], shardings: Dict[str, Any]) -> Dict[str, Any]:
+    return jax.device_put(params, shardings)
