@@ -1,0 +1,180 @@
+"""Publication figure generator — TPU analog of the reference's
+``visualize_results.py``.
+
+Emits the same 5 figures (latency, throughput, speedup, peak memory, log-log
+scaling; PDF+PNG, serif, 3.5x2.5in) but reads the measured numbers from
+``ablation_results/summary_statistics.json`` instead of hardcoding them
+(the reference hardcodes its summary at visualize_results.py:24-36; we fall
+back to those published values when no results file exists, so the script is
+runnable standalone).
+
+Chart conventions: two fixed series colors (Paul Tol bright pair — CVD-safe)
+with distinct markers as secondary encoding, one axis per figure, recessive
+grid, legend on multi-series figures.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+# Fixed series identities: KV-cache = blue circle, No KV-cache = red square.
+COLOR_KV = "#4477AA"
+COLOR_NOKV = "#EE6677"
+COLOR_SINGLE = "#228833"
+
+# Reference-published fallback numbers (reference: visualize_results.py:24-36).
+REFERENCE_SUMMARY = {
+    "seq": [128, 256, 512],
+    "kv_ms": [98.08, 98.35, 95.98],
+    "kv_ci": [0.44, 0.12, 2.35],
+    "no_kv_ms": [984.86, 1082.63, 1268.43],
+    "no_kv_ci": [8.99, 2.96, 20.55],
+    "kv_tps": [10.2, 10.17, 10.46],
+    "kv_tps_ci": [0.05, 0.01, 0.29],
+    "no_kv_tps": [1.02, 0.92, 0.79],
+    "no_kv_tps_ci": [0.01, 0.0, 0.01],
+    "kv_mem": [6547.58, 6547.58, 6547.58],
+    "kv_mem_ci": [1.27, 1.27, 1.27],
+    "no_kv_mem": [7122.91, 7437.55, 8069.92],
+    "no_kv_mem_ci": [1.58, 1.5, 1.66],
+}
+
+
+def load_summary(path):
+    """summary_statistics.json -> plot arrays; None if absent/empty."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        summary = json.load(f)
+    lengths = sorted(
+        {v["sequence_length"] for v in summary.values() if "sequence_length" in v}
+    )
+    if not lengths:
+        return None
+
+    def series(prefix, metric, field):
+        return [
+            summary[f"{prefix}_{n}"][metric][field]
+            if f"{prefix}_{n}" in summary
+            else np.nan
+            for n in lengths
+        ]
+
+    return {
+        "seq": lengths,
+        "kv_ms": series("kv_cache", "steady_state_ms_per_token", "mean"),
+        "kv_ci": series("kv_cache", "steady_state_ms_per_token", "ci_95"),
+        "no_kv_ms": series("no_kv_cache", "steady_state_ms_per_token", "mean"),
+        "no_kv_ci": series("no_kv_cache", "steady_state_ms_per_token", "ci_95"),
+        "kv_tps": series("kv_cache", "steady_state_tps", "mean"),
+        "kv_tps_ci": series("kv_cache", "steady_state_tps", "ci_95"),
+        "no_kv_tps": series("no_kv_cache", "steady_state_tps", "mean"),
+        "no_kv_tps_ci": series("no_kv_cache", "steady_state_tps", "ci_95"),
+        "kv_mem": series("kv_cache", "peak_memory_mb", "mean"),
+        "kv_mem_ci": series("kv_cache", "peak_memory_mb", "ci_95"),
+        "no_kv_mem": series("no_kv_cache", "peak_memory_mb", "mean"),
+        "no_kv_mem_ci": series("no_kv_cache", "peak_memory_mb", "ci_95"),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--results", default="ablation_results/summary_statistics.json")
+    p.add_argument("--out_dir", default="figures")
+    args = p.parse_args(argv)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.rcParams.update(
+        {
+            "font.size": 10,
+            "font.family": "serif",
+            "figure.figsize": (3.5, 2.5),
+            "axes.spines.top": False,
+            "axes.spines.right": False,
+            "axes.linewidth": 0.8,
+            "grid.linewidth": 0.5,
+            "lines.linewidth": 1.5,
+            "patch.linewidth": 0.5,
+            "xtick.major.width": 0.8,
+            "ytick.major.width": 0.8,
+        }
+    )
+
+    data = load_summary(args.results)
+    if data is None:
+        print(f"no results at {args.results}; using reference-published numbers")
+        data = REFERENCE_SUMMARY
+    seq = np.asarray(data["seq"])
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def save(fig, name):
+        for ext in ("pdf", "png"):
+            fig.savefig(
+                os.path.join(args.out_dir, f"{name}.{ext}"), dpi=300,
+                bbox_inches="tight",
+            )
+        plt.close(fig)
+        print(f"Saved: {name}.pdf")
+
+    def two_series(ykv, ykv_ci, ynk, ynk_ci, ylabel, title, name, loglog=False):
+        fig, ax = plt.subplots()
+        plot = ax.errorbar
+        plot(seq, ykv, yerr=ykv_ci, marker="o", capsize=3, label="KV-cache",
+             markersize=5, color=COLOR_KV)
+        plot(seq, ynk, yerr=ynk_ci, marker="s", capsize=3, label="No KV-cache",
+             markersize=5, color=COLOR_NOKV)
+        if loglog:
+            ax.set_xscale("log")
+            ax.set_yscale("log")
+        ax.set_xlabel("Sequence Length (tokens)")
+        ax.set_ylabel(ylabel)
+        ax.set_title(title)
+        ax.legend(frameon=False)
+        ax.grid(True, alpha=0.3, which="both" if loglog else "major")
+        fig.tight_layout()
+        save(fig, name)
+
+    two_series(data["kv_ms"], data["kv_ci"], data["no_kv_ms"], data["no_kv_ci"],
+               "Latency (ms/token)", "Steady-State Latency vs Sequence Length",
+               "fig1_latency")
+    two_series(data["kv_tps"], data["kv_tps_ci"], data["no_kv_tps"],
+               data["no_kv_tps_ci"], "Throughput (tokens/sec)",
+               "Throughput vs Sequence Length", "fig2_throughput")
+
+    fig, ax = plt.subplots()
+    speedup = np.asarray(data["no_kv_ms"]) / np.asarray(data["kv_ms"])
+    ax.plot(seq, speedup, marker="o", markersize=6, color=COLOR_SINGLE)
+    for x, y in zip(seq, speedup):
+        ax.text(x, y + 0.4, f"{y:.1f}x", ha="center", fontsize=9)
+    ax.set_xlabel("Sequence Length (tokens)")
+    ax.set_ylabel("Speedup (x)")
+    ax.set_title("KV-Cache Speedup Factor")
+    ax.grid(True, alpha=0.3)
+    ax.set_ylim(bottom=0)
+    fig.tight_layout()
+    save(fig, "fig3_speedup")
+
+    two_series(data["kv_mem"], data["kv_mem_ci"], data["no_kv_mem"],
+               data["no_kv_mem_ci"], "Peak Memory (MB)",
+               "Peak Decode Memory Usage", "fig4_memory")
+    two_series(data["kv_ms"], None, data["no_kv_ms"], None,
+               "Latency (ms/token)", "Log-Log Scaling Behavior",
+               "fig5_loglog", loglog=True)
+
+    print("\nResults summary:")
+    print(f"  - Speedup range: {speedup.min():.1f}x to {speedup.max():.1f}x")
+    kv_ms = np.asarray(data["kv_ms"], dtype=float)
+    no_kv_ms = np.asarray(data["no_kv_ms"], dtype=float)
+    print(f"  - KV-cache latency: {kv_ms.mean():.1f}ms (±{kv_ms.std():.1f}ms)")
+    print(f"  - No-cache latency: {no_kv_ms.mean():.1f}ms (±{no_kv_ms.std():.1f}ms)")
+
+
+if __name__ == "__main__":
+    main()
