@@ -182,6 +182,7 @@ def _attention(
     k = apply_rope(k, cos, sin)
 
     new_cache_kv = None
+    decode_over_cache = False
     if cache_kv is not None:
         ck, cv = cache_kv  # (B, S, Hkv, hd)
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, write_pos, 0, 0))
@@ -189,13 +190,25 @@ def _attention(
         new_cache_kv = (ck, cv)
         if t == 1:
             # Decode: single query attends over the whole preallocated buffer
-            # (unwritten slots masked out by the caller-provided mask).
+            # (unwritten slots masked out by the validity mask).
+            decode_over_cache = True
             k, v = ck.astype(q.dtype), cv.astype(q.dtype)
         # Prefill (t > 1, cache starts empty): attend over the fresh K/V only —
         # exact, because prefill is fully bidirectional over these T tokens —
         # instead of paying attention FLOPs over max_len padded slots.
 
-    attn = gqa_attention(q, k, v, mask=mask, scale=hd**-0.5)
+    from paligemma_tpu import runtime
+
+    if runtime.use_pallas_attention and decode_over_cache and write_pos is not None:
+        from paligemma_tpu.ops.pallas_attention import decode_attention
+
+        attn = decode_attention(q, k, v, write_pos + 1, scale=hd**-0.5)
+    elif runtime.use_pallas_attention and mask is None and t > 1:
+        from paligemma_tpu.ops.pallas_attention import flash_attention
+
+        attn = flash_attention(q, k, v, scale=hd**-0.5)
+    else:
+        attn = gqa_attention(q, k, v, mask=mask, scale=hd**-0.5)
     attn = attn.reshape(b, t, h * hd)
     out = jnp.einsum(
         "bte,ed->btd", attn, lp["o"], preferred_element_type=jnp.float32

@@ -127,7 +127,14 @@ def _layer(cfg: SiglipVisionConfig, h: jnp.ndarray, lp: Params) -> jnp.ndarray:
     q = proj(x, lp["attn"]["q"]).reshape(b, n, nh, hd)
     k = proj(x, lp["attn"]["k"]).reshape(b, n, nh, hd)
     v = proj(x, lp["attn"]["v"]).reshape(b, n, nh, hd)
-    attn = mha(q, k, v).reshape(b, n, d)
+    from paligemma_tpu import runtime
+
+    if runtime.use_pallas_attention:
+        from paligemma_tpu.ops.pallas_attention import flash_attention
+
+        attn = flash_attention(q, k, v).reshape(b, n, d)
+    else:
+        attn = mha(q, k, v).reshape(b, n, d)
     h = residual + proj(attn, lp["attn"]["o"])
 
     residual = h

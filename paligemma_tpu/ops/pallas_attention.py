@@ -1,0 +1,242 @@
+"""Pallas TPU attention kernels.
+
+Two kernels cover the model's attention shapes (see /opt/skills/guides/
+pallas_guide.md for the hardware model):
+
+- ``flash_attention``: blocked bidirectional attention with an online-softmax
+  running maximum — used for SigLIP's full MHA over 256 patches and Gemma's
+  prefix-LM prefill (both are *unmasked* full attention; PaliGemma's prefix-LM
+  mask is all-zeros over valid positions, reference: modeling_gemma.py:506-514).
+  Grid over (batch, q-head, q-block); K/V stream through VMEM in blocks with a
+  fp32 accumulator, so the (T, S) score matrix never hits HBM. GQA is handled
+  by indexing the kv-head as ``q_head // group`` in the BlockSpec index maps.
+
+- ``decode_attention``: single-query GQA against the preallocated KV cache
+  with a validity mask over unwritten slots. One program per (batch, kv-head);
+  the G=8 query group rides the MXU as a skinny (G, S) matmul; everything fits
+  VMEM (S<=2048, hd=256 -> 1 MB per K/V panel).
+
+Numerics match the XLA path bit-for-bit in structure: fp32 scores, fp32
+softmax, probabilities cast back to the activation dtype before the PV
+matmul with fp32 accumulation (reference: modeling_gemma.py:266-277).
+Tested against ``paligemma_tpu.ops.attention`` in interpret mode on CPU and
+compiled on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Flash attention (prefill / vision encoder)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, block_k, kv_len):
+    """One (batch, head, q-block, k-block) step of online-softmax attention.
+
+    Grid: (B, H, num_q_blocks, num_k_blocks); the k-block axis is innermost so
+    the fp32 accumulator carries across it in VMEM scratch.
+    """
+    kb = pl.program_id(3)
+    valid = valid_ref[0]
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0, ...]  # (bq, hd)
+    k = k_ref[0, 0, ...]  # (bk, hd)
+    v = v_ref[0, 0, ...]  # (bk, hd)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk) fp32
+    s = s * scale
+
+    # Mask kv positions beyond valid (padding tail).
+    offs = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(offs < valid, s, NEG_INF)
+
+    m_prev = m_ref[:]  # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # (bq, bk) fp32
+    alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, hd)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = m_new
+
+    @pl.when(kb == pl.num_programs(3) - 1)
+    def _finalize():
+        o_ref[0, 0, ...] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid_len: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Bidirectional (prefix-LM) flash attention with GQA support.
+
+    Args:
+      q: (B, T, H, D); k, v: (B, S, Hkv, D) with H % Hkv == 0.
+      valid_len: optional scalar/()-array: kv positions >= valid_len masked.
+    Returns:
+      (B, T, H, D) in q.dtype. T and S are padded internally to block size.
+    """
+    b, t, h, d = q.shape
+    s_len = k.shape[1]
+    hkv = k.shape[2]
+    g = h // hkv
+    scale = d**-0.5 if scale is None else scale
+
+    t_pad = -(-t // block_q) * block_q
+    s_pad = -(-s_len // block_k) * block_k
+    qp = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, s_pad - s_len), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, s_pad - s_len), (0, 0), (0, 0)))
+    # (B, H, T, D) / (B, Hkv, S, D) layouts for blocking.
+    qp = qp.transpose(0, 2, 1, 3)
+    kp = kp.transpose(0, 2, 1, 3)
+    vp = vp.transpose(0, 2, 1, 3)
+
+    if valid_len is None:
+        valid = jnp.full((1,), s_len, jnp.int32)
+    else:
+        valid = jnp.asarray(valid_len, jnp.int32).reshape(1)
+
+    grid = (b, h, t_pad // block_q, s_pad // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=block_k, kv_len=s_pad
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, d), lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, d), lambda bi, hi, qi, ki, *_: (bi, hi // g, ki, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, d), lambda bi, hi, qi, ki, *_: (bi, hi // g, ki, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        interpret=_interpret(),
+    )(valid, qp, kp, vp)
+
+    return out.transpose(0, 2, 1, 3)[:, :t]
+
+
+# ---------------------------------------------------------------------------
+# Decode attention (single query vs KV cache)
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    """One (batch, kv-head) program: (G, D) queries vs the (S, D) cache panel."""
+    valid = len_ref[0]
+    q = q_ref[0, 0, ...]  # (G, D)
+    k = k_ref[0, 0, ...]  # (S, D)
+    v = v_ref[0, 0, ...]  # (S, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (G, S)
+    s = s * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(pos < valid, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G, D)
+    o_ref[0, 0, ...] = o.astype(o_ref.dtype)
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    valid_len: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Single-token GQA decode attention against the preallocated cache.
+
+    Args:
+      q: (B, 1, H, D) this step's queries (RoPE already applied).
+      k_cache, v_cache: (B, S, Hkv, D) — the full cache buffers.
+      valid_len: () int32 — positions >= valid_len are masked (unwritten).
+    Returns:
+      (B, 1, H, D) in q.dtype.
+    """
+    b, t, h, d = q.shape
+    assert t == 1
+    s_len = k_cache.shape[1]
+    hkv = k_cache.shape[2]
+    g = h // hkv
+    scale = d**-0.5 if scale is None else scale
+
+    qg = q.reshape(b, hkv, g, d)
+    kt = k_cache.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
+    vt = v_cache.transpose(0, 2, 1, 3)
+    valid = jnp.asarray(valid_len, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, g, d), lambda bi, ki, *_: (bi, ki, 0, 0)),
+                pl.BlockSpec((1, 1, s_len, d), lambda bi, ki, *_: (bi, ki, 0, 0)),
+                pl.BlockSpec((1, 1, s_len, d), lambda bi, ki, *_: (bi, ki, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, ki, *_: (bi, ki, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        interpret=_interpret(),
+    )(valid, qg, kt, vt)
+
+    return out.reshape(b, 1, h, d)

@@ -1,0 +1,114 @@
+"""Pallas kernels vs the canonical XLA ops (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paligemma_tpu.ops.attention import gqa_attention, length_mask, mha
+from paligemma_tpu.ops.norms import rms_norm
+from paligemma_tpu.ops.pallas_attention import decode_attention, flash_attention
+from paligemma_tpu.ops.pallas_norms import rms_norm_pallas
+
+
+@pytest.mark.parametrize("t,h,hkv,d", [(64, 4, 4, 32), (48, 4, 2, 32)])
+def test_flash_attention_matches_xla(t, h, hkv, d):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    b = 2
+    q = jax.random.normal(kq, (b, t, h, d))
+    k = jax.random.normal(kk, (b, t, hkv, d))
+    v = jax.random.normal(kv, (b, t, hkv, d))
+    ref = gqa_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=16, block_k=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_valid_len_masks_tail():
+    key = jax.random.PRNGKey(1)
+    b, t, h, d = 1, 32, 2, 16
+    q = jax.random.normal(key, (b, t, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, t, h, d))
+    valid = 20
+    out = flash_attention(q, k, v, valid_len=valid, block_q=16, block_k=16)
+    # XLA reference with additive mask over the tail
+    mask = length_mask(valid, t, b)  # (B,1,1,1,S)
+    ref = gqa_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :valid]), np.asarray(ref[:, :valid]), rtol=2e-5, atol=2e-5
+    )
+    # Garbage beyond valid must not influence the valid region
+    k_poison = k.at[:, valid:].set(1e6)
+    v_poison = v.at[:, valid:].set(1e6)
+    out2 = flash_attention(q, k_poison, v_poison, valid_len=valid, block_q=16, block_k=16)
+    np.testing.assert_allclose(
+        np.asarray(out2[:, :valid]), np.asarray(out[:, :valid]), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("hkv", [1, 2])
+def test_decode_attention_matches_xla(hkv):
+    b, h, d, s = 2, 4, 32, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, hkv, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, hkv, d))
+    valid = jnp.int32(37)
+    mask = length_mask(valid, s, b)
+    ref = gqa_attention(q, k, v, mask=mask)
+    out = decode_attention(q, k, v, valid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_ignores_unwritten_slots():
+    b, h, hkv, d, s = 1, 4, 2, 16, 32
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, hkv, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, hkv, d))
+    valid = jnp.int32(10)
+    out1 = decode_attention(q, k, v, valid)
+    out2 = decode_attention(
+        q, k.at[:, 10:].set(1e9), v.at[:, 10:].set(1e9), valid
+    )
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+@pytest.mark.parametrize("shape", [(7, 32), (2, 9, 32), (300, 64)])
+def test_rms_norm_pallas_matches_xla(shape):
+    x = jax.random.normal(jax.random.PRNGKey(0), shape)
+    w = jax.random.normal(jax.random.PRNGKey(1), (shape[-1],)) * 0.1
+    ref = rms_norm(x, w)
+    out = rms_norm_pallas(x, w, block_t=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_rms_norm_pallas_bf16():
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 32)).astype(jnp.bfloat16)
+    w = (jax.random.normal(jax.random.PRNGKey(1), (32,)) * 0.1).astype(jnp.bfloat16)
+    ref = rms_norm(x, w)
+    out = rms_norm_pallas(x, w, block_t=16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_full_model_pallas_path_matches_xla(params, cfg, sample_inputs):
+    """End-to-end: prefill + decode with use_pallas_attention on == off."""
+    import jax.numpy as jnp
+    from paligemma_tpu import generation, runtime
+    from paligemma_tpu.models import paligemma
+
+    ids, pix = sample_inputs
+    try:
+        runtime.set_pallas_attention(False)
+        cache = generation.make_cache(cfg, 1, ids.shape[1], 3, jnp.float32)
+        lg_ref, cache_ref = paligemma.prefill(params, cfg, ids, pix, cache)
+        tok = jnp.argmax(lg_ref[:, -1, :], -1).astype(jnp.int32)[:, None]
+        d_ref, _ = paligemma.decode_step(params, cfg, tok, cache_ref)
+
+        runtime.set_pallas_attention(True)
+        cache = generation.make_cache(cfg, 1, ids.shape[1], 3, jnp.float32)
+        lg_p, cache_p = paligemma.prefill(params, cfg, ids, pix, cache)
+        d_p, _ = paligemma.decode_step(params, cfg, tok, cache_p)
+    finally:
+        runtime.set_pallas_attention(False)
+
+    np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_ref), rtol=2e-4, atol=2e-4)
