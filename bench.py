@@ -6,6 +6,14 @@ excluded from timing, first 32 decode tokens excluded as warm-up, steady-state
 tokens/sec over the remaining tokens. Weights are randomly initialized at the
 exact paligemma-3b-pt-224 geometry (throughput is weight-value independent).
 
+Two configs are measured:
+- bf16 — the reference-parity numerics (fp16 analog),
+- int8 weight-only (LLM only) — the production serving config; it is the
+  headline ONLY if its greedy tokens are identical to bf16's over the whole
+  measured window (the same token-identity criterion the reference uses for
+  its cached-vs-uncached check, ablation_study_fixed.py:427-440). Otherwise
+  the bf16 number is reported.
+
 Prints ONE JSON line:
   {"metric": "decode_tok_s_per_chip", "value": N, "unit": "tok/s",
    "vs_baseline": N / 10.20}
@@ -20,11 +28,11 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from paligemma_tpu import generation
 from paligemma_tpu.config import paligemma_3b_pt_224, tiny_config
 from paligemma_tpu.models import paligemma
+from paligemma_tpu.quantization import quantize_params
 from paligemma_tpu.utils.memory import peak_memory_mb
 
 WARMUP_TOKENS = 32  # reference: ablation_study_fixed.py:23
@@ -36,11 +44,55 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+CHUNK = 16  # decode steps per compiled program (amortizes dispatch RPC)
+
+
+def measure(params, cfg, ids, pix, dtype):
+    """(prefill_ms, tok_s, ms_per_token, token_sequence)."""
+    t_prompt = ids.shape[1]
+    max_new = WARMUP_TOKENS + MEASURE_TOKENS
+    key = jax.random.PRNGKey(0)
+
+    def chunk(tok, cache):
+        return generation.decode_steps(params, cfg, tok, cache, key, CHUNK)
+
+    # Compile warm-up (reference warm-up run: ablation_study_fixed.py:381-391).
+    cache = generation.make_cache(cfg, 1, t_prompt, max_new, dtype)
+    logits, cache = generation._prefill_jit(params, cfg, ids, pix, cache)
+    tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
+    _, tok, cache = chunk(tok, cache)
+    _ = int(tok[0, 0])
+
+    # Timed prefill (target <100 ms).
+    cache = generation.make_cache(cfg, 1, t_prompt, max_new, dtype)
+    jax.block_until_ready(cache.k)
+    t0 = time.time()
+    logits, cache = generation._prefill_jit(params, cfg, ids, pix, cache)
+    tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
+    _ = int(tok[0, 0])  # device round-trip fences the measurement
+    prefill_ms = (time.time() - t0) * 1000
+
+    tokens = [int(tok[0, 0])]
+    for _ in range(WARMUP_TOKENS // CHUNK):
+        _, tok, cache = chunk(tok, cache)
+    _ = int(tok[0, 0])
+    t0 = time.time()
+    chunks = []
+    for _ in range(MEASURE_TOKENS // CHUNK):
+        toks, tok, cache = chunk(tok, cache)
+        chunks.append(toks)
+    stacked = jnp.concatenate(chunks, axis=1)  # on-device gather
+    tokens_tail = stacked[0].tolist()  # ONE host fetch = the closing fence
+    dt = time.time() - t0
+    tok_s = MEASURE_TOKENS / dt
+    return prefill_ms, tok_s, dt * 1000 / MEASURE_TOKENS, tokens + tokens_tail
+
+
 def main() -> None:
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()
-    dtype = jnp.bfloat16
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
     log(f"platform={platform} config={'3b-224' if on_tpu else 'tiny'}")
 
     t0 = time.time()
@@ -49,68 +101,46 @@ def main() -> None:
     log(f"init params: {time.time() - t0:.1f}s")
 
     n_img = cfg.vision_config.num_image_tokens
-    prompt_tokens = 16
     ids = jnp.concatenate(
         [
             jnp.full((1, n_img), cfg.image_token_index, jnp.int32),
-            jnp.full((1, prompt_tokens), 7, jnp.int32),
+            jnp.full((1, 16), 7, jnp.int32),
         ],
         axis=1,
     )
     size = cfg.vision_config.image_size
     pix = jax.random.normal(jax.random.PRNGKey(2), (1, 3, size, size), dtype)
-    t_prompt = ids.shape[1]
-    max_new = WARMUP_TOKENS + MEASURE_TOKENS
 
-    key = jax.random.PRNGKey(0)
+    pf_bf, tps_bf, mspt_bf, toks_bf = measure(params, cfg, ids, pix, dtype)
+    log(f"bf16: prefill {pf_bf:.1f} ms | {mspt_bf:.2f} ms/token = {tps_bf:.1f} tok/s")
 
-    def run(n_steps, cache, tok):
-        for _ in range(n_steps):
-            tok1, cache = generation._decode_and_select(
-                params, cfg, tok, cache, key, False, 0.0, 0.9
-            )
-            tok = tok1[:, None]
-        return tok, cache
-
-    # Compile warm-up (reference warm-up run: ablation_study_fixed.py:381-391).
-    cache = generation.make_cache(cfg, 1, t_prompt, max_new, dtype)
-    logits, cache = generation._prefill_jit(params, cfg, ids, pix, cache)
-    tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
-    tok, cache = run(2, cache, tok)
-    _ = int(tok[0, 0])
-    log("compiled")
-
-    # Timed prefill (reported to stderr; target <100 ms).
-    cache = generation.make_cache(cfg, 1, t_prompt, max_new, dtype)
-    jax.block_until_ready(cache.k)
     t0 = time.time()
-    logits, cache = generation._prefill_jit(params, cfg, ids, pix, cache)
-    tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
-    _ = int(tok[0, 0])  # device round-trip fences the measurement
-    prefill_ms = (time.time() - t0) * 1000
-    log(f"prefill: {prefill_ms:.1f} ms")
+    qparams = quantize_params(params, llm_only=True)
+    jax.block_until_ready(qparams)
+    del params
+    log(f"quantize (llm-only int8): {time.time() - t0:.1f}s")
 
-    # Warm-up tokens (excluded), then the measured steady-state region.
-    tok, cache = run(WARMUP_TOKENS, cache, tok)
-    _ = int(tok[0, 0])
-    t0 = time.time()
-    tok, cache = run(MEASURE_TOKENS, cache, tok)
-    _ = int(tok[0, 0])
-    dt = time.time() - t0
-    tok_s = MEASURE_TOKENS / dt
-    ms_per_token = dt * 1000 / MEASURE_TOKENS
-    log(
-        f"steady-state: {ms_per_token:.2f} ms/token over {MEASURE_TOKENS} tokens"
-        f" | peak HBM {peak_memory_mb():.0f} MB"
-    )
+    pf_q, tps_q, mspt_q, toks_q = measure(qparams, cfg, ids, pix, dtype)
+    log(f"int8: prefill {pf_q:.1f} ms | {mspt_q:.2f} ms/token = {tps_q:.1f} tok/s")
+    log(f"peak HBM {peak_memory_mb():.0f} MB")
+
+    identical = toks_bf == toks_q
+    log(f"int8 vs bf16 token identity over {len(toks_bf)} tokens: {identical}")
+
+    if identical and tps_q > tps_bf:
+        value, pf = tps_q, pf_q
+        log("headline: int8 serving config (token-identical to bf16)")
+    else:
+        value, pf = tps_bf, pf_bf
+        log("headline: bf16 reference-parity config")
 
     print(
         json.dumps(
             {
                 "metric": "decode_tok_s_per_chip",
-                "value": round(tok_s, 2),
+                "value": round(value, 2),
                 "unit": "tok/s",
-                "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
+                "vs_baseline": round(value / BASELINE_TOK_S, 2),
             }
         )
     )

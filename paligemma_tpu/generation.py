@@ -60,6 +60,43 @@ def _decode_and_select(
     return nxt, cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "do_sample", "temperature", "top_p"),
+)
+def decode_steps(
+    params,
+    cfg: PaliGemmaConfig,
+    token: jnp.ndarray,
+    cache: KVCache,
+    key: jax.Array,
+    n_steps: int,
+    do_sample: bool = False,
+    temperature: float = 0.0,
+    top_p: float = 0.9,
+):
+    """Run ``n_steps`` greedy/sampled decode steps as ONE compiled program.
+
+    Returns (tokens (B, n_steps), last token (B, 1), cache). Host round-trips
+    amortize over the chunk — the unit of work for serving and benchmarking
+    on remote-dispatch backends.
+    """
+
+    def body(carry, step_key):
+        tok, cache = carry
+        logits, cache = paligemma.decode_step(params, cfg, tok, cache)
+        last = logits[:, -1, :]
+        if do_sample and temperature > 0.0:
+            nxt = sample_top_p(last, step_key, temperature, top_p)
+        else:
+            nxt = greedy(last)
+        return (nxt[:, None], cache), nxt
+
+    keys = jax.random.split(key, n_steps)
+    (tok, cache), toks = jax.lax.scan(body, (token, cache), keys)
+    return toks.T, tok, cache
+
+
 def make_cache(
     cfg: PaliGemmaConfig,
     batch: int,

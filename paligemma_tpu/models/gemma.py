@@ -108,7 +108,11 @@ def init_params(cfg: GemmaConfig, key: jax.Array, dtype: jnp.dtype = jnp.float32
     }
 
 
-def _proj(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def _proj(x: jnp.ndarray, w) -> jnp.ndarray:
+    from paligemma_tpu.quantization import QTensor, qproj
+
+    if isinstance(w, QTensor):
+        return qproj(x, w)
     return jnp.einsum(
         "btd,de->bte", x, w, preferred_element_type=jnp.float32
     ).astype(x.dtype)
@@ -210,9 +214,7 @@ def _attention(
     else:
         attn = gqa_attention(q, k, v, mask=mask, scale=hd**-0.5)
     attn = attn.reshape(b, t, h * hd)
-    out = jnp.einsum(
-        "bte,ed->btd", attn, lp["o"], preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    out = _proj(attn, lp["o"])
     return out, new_cache_kv
 
 
@@ -327,11 +329,27 @@ def forward(
 
 def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """Weight-tied lm_head, fp32 logits (reference: modeling_gemma.py:396-418)."""
+    from paligemma_tpu.quantization import QTensor
+
+    emb = params["embed"]
+    if isinstance(emb, QTensor):
+        lg = jnp.einsum(
+            "btd,vd->btv", hidden, emb.q.astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return lg * emb.scale.reshape(1, 1, -1)
     return jnp.einsum(
-        "btd,vd->btv", hidden, params["embed"], preferred_element_type=jnp.float32
+        "btd,vd->btv", hidden, emb, preferred_element_type=jnp.float32
     )
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     """Token embedding lookup (unscaled)."""
-    return jnp.take(params["embed"], input_ids, axis=0)
+    from paligemma_tpu.quantization import QTensor
+
+    emb = params["embed"]
+    if isinstance(emb, QTensor):
+        rows = jnp.take(emb.q, input_ids, axis=0).astype(jnp.bfloat16)
+        scales = jnp.take(emb.scale[:, 0], input_ids, axis=0).astype(jnp.bfloat16)
+        return rows * scales[..., None]
+    return jnp.take(emb, input_ids, axis=0)

@@ -64,14 +64,19 @@ def encode_image(
     (B, C, H, W) -> (B, N_img, hidden). The scaling cancels the decoder's
     embedding normalizer (reference: modeling_gemma.py:481,567-574).
     """
+    from paligemma_tpu.quantization import QTensor, qproj
+
     feats = siglip.apply(params["vision"], cfg.vision_config, pixel_values)
     kernel = params["projector"]["kernel"]
-    proj = (
-        jnp.einsum(
-            "bnd,de->bne", feats, kernel, preferred_element_type=jnp.float32
-        ).astype(feats.dtype)
-        + params["projector"]["bias"]
-    )
+    if isinstance(kernel, QTensor):
+        proj = qproj(feats, kernel) + params["projector"]["bias"]
+    else:
+        proj = (
+            jnp.einsum(
+                "bnd,de->bne", feats, kernel, preferred_element_type=jnp.float32
+            ).astype(feats.dtype)
+            + params["projector"]["bias"]
+        )
     return proj / jnp.asarray(cfg.hidden_size**0.5, proj.dtype)
 
 

@@ -116,6 +116,10 @@ def _layer(cfg: SiglipVisionConfig, h: jnp.ndarray, lp: Params) -> jnp.ndarray:
     b, n, _ = h.shape
 
     def proj(x, w):
+        from paligemma_tpu.quantization import QTensor, qproj
+
+        if isinstance(w["kernel"], QTensor):
+            return qproj(x, w["kernel"]) + w["bias"]
         return (
             jnp.einsum("bnd,de->bne", x, w["kernel"],
                        preferred_element_type=jnp.float32).astype(x.dtype)

@@ -1,0 +1,67 @@
+"""int8 weight-only quantization: error bounds and end-to-end behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paligemma_tpu import generation
+from paligemma_tpu.models import paligemma
+from paligemma_tpu.quantization import (
+    QTensor,
+    dequantize,
+    params_bytes,
+    quantize_params,
+    quantize_tensor,
+)
+
+
+def test_quantize_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 128))
+    qt = quantize_tensor(w, axis=0)
+    assert qt.q.dtype == jnp.int8
+    err = np.abs(np.asarray(dequantize(qt)) - np.asarray(w))
+    amax = np.abs(np.asarray(w)).max(axis=0)
+    # error bounded by half an int8 step per channel
+    assert np.all(err <= (amax / 127.0) * 0.5 + 1e-6)
+
+
+def test_quantized_params_smaller(params):
+    qp = quantize_params(params, llm_only=False)
+    assert params_bytes(qp) < 0.45 * params_bytes(params)
+
+
+def test_llm_only_leaves_vision_bf16(params):
+    qp = quantize_params(params, llm_only=True)
+    assert not isinstance(qp["vision"]["layers"]["attn"]["q"]["kernel"], QTensor)
+    assert isinstance(qp["llm"]["layers"]["q"], QTensor)
+    assert isinstance(qp["llm"]["embed"], QTensor)
+
+
+def test_quantized_forward_close(params, cfg, sample_inputs):
+    """Quantized logits stay close to fp32 logits (top-1 agreement on the
+    final position and bounded normalized error)."""
+    ids, pix = sample_inputs
+    ref = paligemma.forward_nocache(params, cfg, ids, pix)
+    qp = quantize_params(params)
+    out = paligemma.forward_nocache(qp, cfg, ids, pix)
+    ref_l = np.asarray(ref[0, -1]).astype(np.float64)
+    out_l = np.asarray(out[0, -1]).astype(np.float64)
+    cos = np.dot(ref_l, out_l) / (np.linalg.norm(ref_l) * np.linalg.norm(out_l))
+    assert cos > 0.999, cos
+    assert int(np.argmax(ref_l)) == int(np.argmax(out_l))
+
+
+def test_quantized_generation_runs(params, cfg, sample_inputs):
+    ids, pix = sample_inputs
+    qp = quantize_params(params)
+    toks, _ = generation.generate(
+        qp, cfg, ids, pix, 5, eos_token_id=-1,
+        cache_dtype=jnp.float32, stop_at_eos=False,
+    )
+    assert len(toks) == 5
+    # greedy decode of the tiny model should match unquantized closely
+    ref_toks, _ = generation.generate(
+        params, cfg, ids, pix, 5, eos_token_id=-1,
+        cache_dtype=jnp.float32, stop_at_eos=False,
+    )
+    assert toks[0] == ref_toks[0]
