@@ -226,6 +226,20 @@ def run_inference(runner, processor, image_path, prompt, config, return_tokens=F
         token_ids, t0, t_decode, t_end = runner.run_uncached(ids, pix, max_tokens, temperature)
 
     peak_memory = peak_memory_mb()
+    if peak_memory == 0:
+        # Backend exposes no memory_stats (tunneled PJRT): report an analytic
+        # in-use lower bound — params + KV cache (+ padded ids buffer).
+        from paligemma_tpu.utils.memory import estimate_live_mb, tree_bytes
+
+        peak_memory = estimate_live_mb(runner.params)
+        if config["kv_cache"]:
+            tc = runner.cfg.text_config
+            cache_bytes = (
+                2 * tc.num_hidden_layers * (ids.shape[1] + max_tokens)
+                * tc.num_key_value_heads * tc.head_dim
+                * jnp.dtype(runner.dtype).itemsize
+            )
+            peak_memory += cache_bytes / 1024 / 1024
     total_latency_ms = (t_end - t0) * 1000
     num_tokens = len(token_ids)
     decode_start_step = WARMUP_TOKENS if t_decode is not None else 0

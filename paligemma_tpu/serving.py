@@ -1,0 +1,171 @@
+"""Batched multi-image VQA serving.
+
+The reference is strictly batch-1 (its processor asserts one image + one
+prompt, processing_paligemma.py:80). This module is the batched TPU serving
+path called out in BASELINE.json ("batched multi-image financial-document
+VQA inference (batch>=8)"): N images + N prompts -> one padded batch ->
+batched prefill -> decode -> N decoded strings.
+
+Batching strategy: prompts are templated exactly like the reference
+(``<image>*N + BOS + prompt + \\n``) and *right-padded* to the longest
+sequence. PaliGemma's prefix-LM attention is bidirectional over the prefix,
+so pad slots must be masked out: each row attends to its own prompt region
+``[0, valid_i)`` plus every shared generated slot ``[T_pad, T_pad + g]``;
+pad slots (which hold garbage K/V from the padded prefill) stay masked
+forever. Per-row RoPE positions are ``valid_i + g`` — each row's generation
+continues at its own length, exactly as if it ran unpadded at batch 1
+(verified against batch-1 ``generate`` in tests/test_serving.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paligemma_tpu import generation
+from paligemma_tpu.config import PaliGemmaConfig
+from paligemma_tpu.models import gemma, paligemma
+from paligemma_tpu.ops.attention import MASK_VALUE
+from paligemma_tpu.ops.sampling import greedy, sample_top_p
+
+
+def pad_batch(
+    processor, prompts: List[str], images: List
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-sample processing + right-padding to the longest prompt.
+
+    Returns (input_ids (B, T), valid_len (B,), pixel_values (B, C, H, W)).
+    """
+    assert len(prompts) == len(images)
+    ids_list, pix_list = [], []
+    for prompt, image in zip(prompts, images):
+        out = processor(text=[prompt], images=[image])
+        ids_list.append(np.asarray(out["input_ids"][0], np.int32))
+        pix_list.append(out["pixel_values"][0])
+    max_len = max(len(x) for x in ids_list)
+    b = len(ids_list)
+    ids = np.zeros((b, max_len), np.int32)
+    valid = np.zeros((b,), np.int32)
+    for i, row in enumerate(ids_list):
+        ids[i, : len(row)] = row
+        valid[i] = len(row)
+    return ids, valid, np.stack(pix_list, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def batched_prefill(params, cfg: PaliGemmaConfig, input_ids, pixel_values, valid, cache):
+    """Prefill a right-padded batch with per-row validity masking.
+
+    Returns (per-row last-valid-position logits (B, V), warm cache). The
+    cache's scalar length advances by the padded T; pad slots hold garbage
+    K/V that decode keeps masked.
+    """
+    b, t = input_ids.shape
+    image_features = paligemma.encode_image(params, cfg, pixel_values)
+    embeds = paligemma.merge_prefix(params, cfg, input_ids, image_features)
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
+    positions = jnp.minimum(positions, jnp.maximum(valid[:, None] - 1, 0))
+
+    s = jnp.arange(t)
+    mask = jnp.where(s[None, :] < valid[:, None], 0.0, MASK_VALUE)
+    mask = mask.astype(jnp.float32)[:, None, None, None, :]
+
+    hidden, new_cache = gemma.forward(
+        params["llm"], cfg.text_config, embeds, positions, cache=cache, mask=mask
+    )
+    last = jnp.take_along_axis(
+        hidden, jnp.maximum(valid - 1, 0)[:, None, None].astype(jnp.int32), axis=1
+    )
+    logits = gemma.logits(params["llm"], last)[:, 0, :]
+    return logits, new_cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "do_sample", "temperature", "top_p", "t_prompt")
+)
+def batched_decode_step(
+    params, cfg: PaliGemmaConfig, token, cache, valid, key,
+    do_sample: bool, temperature: float, top_p: float, t_prompt: int,
+):
+    """One decode step for a padded batch.
+
+    ``valid`` (B,): original per-row prompt lengths. Generated count
+    g = cache.length - t_prompt; per-row RoPE position = valid + g; rows
+    attend to their own prompt ``[0, valid)`` plus all generated slots
+    ``[t_prompt, cache.length]`` (inclusive of this step's write).
+    """
+    g = cache.length - t_prompt
+    positions = (valid + g)[:, None].astype(jnp.int32)
+    embeds = gemma.embed_tokens(params["llm"], token)
+    s = jnp.arange(cache.max_len)
+    own = s[None, :] < valid[:, None]
+    gen = (s[None, :] >= t_prompt) & (s[None, :] <= cache.length)
+    mask = jnp.where(own | gen, 0.0, MASK_VALUE).astype(jnp.float32)
+    mask = mask[:, None, None, None, :]
+
+    # gemma.forward derives cos/sin from our per-row positions and writes the
+    # new KV at cache.length; the mask above overrides its default.
+    hidden, new_cache = gemma.forward(
+        params["llm"], cfg.text_config, embeds, positions, cache=cache, mask=mask
+    )
+    logits = gemma.logits(params["llm"], hidden)[:, -1, :]
+    if do_sample and temperature > 0.0:
+        nxt = sample_top_p(logits, key, temperature, top_p)
+    else:
+        nxt = greedy(logits)
+    return nxt, new_cache
+
+
+def batch_generate(
+    params,
+    cfg: PaliGemmaConfig,
+    processor,
+    prompts: List[str],
+    images: List,
+    max_new_tokens: int = 100,
+    do_sample: bool = False,
+    temperature: float = 0.8,
+    top_p: float = 0.9,
+    eos_token_id: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    cache_dtype=jnp.bfloat16,
+) -> List[str]:
+    """End-to-end batched VQA: prompts + images -> decoded strings."""
+    if eos_token_id is None:
+        eos_token_id = processor.tokenizer.eos_token_id
+    ids_np, valid_np, pix_np = pad_batch(processor, prompts, images)
+    b, t = ids_np.shape
+    ids = jnp.asarray(ids_np)
+    valid = jnp.asarray(valid_np)
+    pix = jnp.asarray(pix_np, cache_dtype)
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    cache = generation.make_cache(cfg, b, t, max_new_tokens, cache_dtype)
+    logits, cache = batched_prefill(params, cfg, ids, pix, valid, cache)
+
+    key, sub = jax.random.split(key)
+    if do_sample and temperature > 0.0:
+        tok = sample_top_p(logits, sub, temperature, top_p)
+    else:
+        tok = greedy(logits)
+
+    all_tokens = [np.asarray(tok)]
+    for _ in range(max_new_tokens - 1):
+        key, sub = jax.random.split(key)
+        tok, cache = batched_decode_step(
+            params, cfg, tok[:, None], cache, valid, sub,
+            do_sample, float(temperature), float(top_p), t,
+        )
+        all_tokens.append(np.asarray(tok))
+
+    mat = np.stack(all_tokens, axis=1)  # (B, max_new)
+    outs = []
+    for i in range(b):
+        row = mat[i].tolist()
+        if eos_token_id in row:
+            row = row[: row.index(eos_token_id) + 1]
+        outs.append(processor.tokenizer.decode(row, skip_special_tokens=True))
+    return outs

@@ -30,3 +30,17 @@ def peak_bytes_in_use(device: Optional[jax.Device] = None) -> int:
 
 def peak_memory_mb(device: Optional[jax.Device] = None) -> float:
     return peak_bytes_in_use(device) / 1024 / 1024
+
+
+def tree_bytes(tree) -> int:
+    """Total bytes of a pytree of arrays (params, cache, ...)."""
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+
+def estimate_live_mb(*trees) -> float:
+    """Analytic fallback when the backend exposes no memory_stats()
+    (the tunneled axon PJRT backend reports none): sum of the live pytrees'
+    bytes. Reported by the ablation harness as ``peak_memory_mb`` with
+    provenance noted — an *in-use lower bound*, not an allocator peak.
+    """
+    return sum(tree_bytes(t) for t in trees) / 1024 / 1024
