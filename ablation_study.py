@@ -95,7 +95,16 @@ def get_image(item, images_dir):
 
 
 class Runner:
-    """Holds jitted closures for the cached and uncached decode arms."""
+    """Holds jitted closures for the cached and uncached decode arms.
+
+    Prompts are right-padded to a fixed bucket with validity masking (via the
+    batched-serving prefill/decode, which is proven token-identical to
+    unpadded batch-1 decoding in tests/test_serving.py) so every image shares
+    ONE compiled program per arm per length — jit-stable static shapes where
+    the reference relies on dynamic torch shapes.
+    """
+
+    PROMPT_BUCKET = 128  # rounded up per-run to a multiple of this
 
     def __init__(self, params, cfg, dtype):
         import jax
@@ -135,26 +144,41 @@ class Runner:
         """Device round-trip — the TPU analog of cuda.synchronize."""
         return np.asarray(x)
 
+    def _bucket(self, ids):
+        """Right-pad ids to the bucket; returns (padded ids, valid, bucket)."""
+        jnp = self.jnp
+        t0 = ids.shape[1]
+        bucket = -(-t0 // self.PROMPT_BUCKET) * self.PROMPT_BUCKET
+        padded = jnp.zeros((ids.shape[0], bucket), jnp.int32)
+        padded = padded.at[:, :t0].set(ids)
+        valid = jnp.full((ids.shape[0],), t0, jnp.int32)
+        return padded, valid, bucket
+
     def run_cached(self, ids, pix, max_tokens, temperature):
         jax, jnp = self.jax, self.jnp
-        gen = self.generation
-        cache = gen.make_cache(self.cfg, ids.shape[0], ids.shape[1], max_tokens, self.dtype)
+        from paligemma_tpu import serving
+        from paligemma_tpu.ops.sampling import greedy, sample_top_p
+
+        ids_p, valid, bucket = self._bucket(ids)
+        cache = self.generation.make_cache(
+            self.cfg, ids.shape[0], bucket, max_tokens, self.dtype
+        )
 
         # Prefill phase — untimed (reference: ablation_study_fixed.py:193-202).
-        logits, cache = gen._prefill_jit(self.params, self.cfg, ids, pix, cache)
+        logits, cache = serving.batched_prefill(
+            self.params, self.cfg, ids_p, pix, valid, cache
+        )
         self.fence(logits)
 
         do_sample = temperature > 0.0
         key = jax.random.PRNGKey(0)
-        from paligemma_tpu.ops.sampling import greedy, sample_top_p
 
         t_total0 = time.perf_counter()
-        last = logits[:, -1, :]
         if do_sample:
             key, sub = jax.random.split(key)
-            tok = sample_top_p(last, sub, temperature, 0.9)
+            tok = sample_top_p(logits, sub, temperature, 0.9)
         else:
-            tok = greedy(last)
+            tok = greedy(logits)
         tokens = [tok]
         decode_start_time = None
         for step in range(1, max_tokens):
@@ -162,22 +186,23 @@ class Runner:
                 self.fence(tok)  # fence the warm-up region
                 decode_start_time = time.perf_counter()
             key, sub = jax.random.split(key)
-            tok, cache = gen._decode_and_select(
-                self.params, self.cfg, tok[:, None], cache, sub,
-                do_sample, float(temperature), 0.9,
+            tok, cache = serving.batched_decode_step(
+                self.params, self.cfg, tok[:, None], cache, valid, sub,
+                do_sample, float(temperature), 0.9, bucket,
             )
             tokens.append(tok)
-        token_ids = [int(t[0]) for t in tokens]  # final fence (host transfer)
+        stacked = jnp.stack(tokens)  # one host fetch = the closing fence
+        token_ids = [int(x) for x in stacked[:, 0].tolist()]
         t_end = time.perf_counter()
         return token_ids, t_total0, decode_start_time, t_end
 
     def run_uncached(self, ids, pix, max_tokens, temperature):
         jax, jnp = self.jax, self.jnp
-        b, t0 = ids.shape
+        b = ids.shape[0]
+        ids_p, valid, bucket = self._bucket(ids)
         buf = jnp.concatenate(
-            [ids, jnp.zeros((b, max_tokens), jnp.int32)], axis=1
+            [ids_p, jnp.zeros((b, max_tokens), jnp.int32)], axis=1
         )
-        valid = jnp.full((b,), t0, jnp.int32)
         key = jax.random.PRNGKey(0)
 
         # Warm-up/compile of the uncached step happens on the first call of a
@@ -200,7 +225,8 @@ class Runner:
             )
             valid = valid + 1
             tokens.append(tok)
-        token_ids = [int(t[0]) for t in tokens]
+        stacked = jnp.stack(tokens)  # one host fetch = the closing fence
+        token_ids = [int(x) for x in stacked[:, 0].tolist()]
         t_end = time.perf_counter()
         return token_ids, t_total0, decode_start_time, t_end
 
