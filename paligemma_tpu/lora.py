@@ -291,7 +291,10 @@ def train(
     losses = []
     step = 0
     for epoch in range(epochs):
-        for batch in batches:
+        # ``batches`` may be a callable (fresh iterator per epoch), a list, or
+        # a one-shot generator (single epoch only).
+        epoch_batches = batches(epoch) if callable(batches) else batches
+        for batch in epoch_batches:
             key, sub = jax.random.split(key)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             try:

@@ -83,14 +83,11 @@ def batched_prefill(params, cfg: PaliGemmaConfig, input_ids, pixel_values, valid
     return logits, new_cache
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "do_sample", "temperature", "top_p", "t_prompt")
-)
-def batched_decode_step(
+def _decode_step_inner(
     params, cfg: PaliGemmaConfig, token, cache, valid, key,
     do_sample: bool, temperature: float, top_p: float, t_prompt: int,
 ):
-    """One decode step for a padded batch.
+    """One decode step for a padded batch (unjitted body).
 
     ``valid`` (B,): original per-row prompt lengths. Generated count
     g = cache.length - t_prompt; per-row RoPE position = valid + g; rows
@@ -117,6 +114,39 @@ def batched_decode_step(
     else:
         nxt = greedy(logits)
     return nxt, new_cache
+
+
+batched_decode_step = jax.jit(
+    _decode_step_inner,
+    static_argnames=("cfg", "do_sample", "temperature", "top_p", "t_prompt"),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "do_sample", "temperature", "top_p", "t_prompt"),
+)
+def batched_decode_steps(
+    params, cfg: PaliGemmaConfig, token, cache, valid, key,
+    n_steps: int, do_sample: bool, temperature: float, top_p: float, t_prompt: int,
+):
+    """``n_steps`` batched decode steps as ONE compiled program (lax.scan) —
+    the dispatch-amortized unit for serving/benchmarking on remote backends.
+
+    Returns (tokens (B, n_steps), last token (B, 1), cache).
+    """
+
+    def body(carry, step_key):
+        tok, cache = carry
+        nxt, cache = _decode_step_inner(
+            params, cfg, tok, cache, valid, step_key,
+            do_sample, temperature, top_p, t_prompt,
+        )
+        return (nxt[:, None], cache), nxt
+
+    keys = jax.random.split(key, n_steps)
+    (tok, cache), toks = jax.lax.scan(body, (token, cache), keys)
+    return toks.T, tok, cache
 
 
 def batch_generate(
