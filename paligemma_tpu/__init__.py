@@ -25,4 +25,7 @@ __all__ = [
     "paligemma_3b_pt_224",
     "tiny_config",
     "KVCache",
+    # submodules (imported lazily by users):
+    # generation, serving, quantization, lora, data, processing, runtime,
+    # models, ops, parallel, utils, native
 ]

@@ -60,3 +60,28 @@ def test_select_token_greedy_when_not_sampling():
     # temperature 0.0 -> greedy even with do_sample (benchmark convention)
     tok = select_token(logits, jax.random.PRNGKey(0), do_sample=True, temperature=0.0, top_p=0.9)
     assert int(tok[0]) == 1
+
+
+def test_sampled_generation_reproducible():
+    """Same PRNG key -> identical sampled stream; different keys diverge."""
+    import jax
+    from paligemma_tpu import generation
+    from paligemma_tpu.config import tiny_config
+    from paligemma_tpu.models import paligemma
+
+    cfg = tiny_config()
+    params = paligemma.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    n_img = cfg.vision_config.num_image_tokens
+    ids = jnp.concatenate(
+        [jnp.full((1, n_img), cfg.image_token_index, jnp.int32),
+         jnp.ones((1, 5), jnp.int32) * 9], axis=1)
+    pix = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 32, 32))
+
+    kw = dict(max_new_tokens=8, eos_token_id=-1, do_sample=True,
+              temperature=1.5, top_p=0.95, cache_dtype=jnp.float32,
+              stop_at_eos=False)
+    a, _ = generation.generate(params, cfg, ids, pix, key=jax.random.PRNGKey(7), **kw)
+    b, _ = generation.generate(params, cfg, ids, pix, key=jax.random.PRNGKey(7), **kw)
+    c, _ = generation.generate(params, cfg, ids, pix, key=jax.random.PRNGKey(8), **kw)
+    assert a == b
+    assert a != c  # overwhelmingly likely at temperature 1.5
