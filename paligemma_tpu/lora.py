@@ -232,6 +232,37 @@ def save_checkpoint_robust(
     return saved
 
 
+def save_train_state(output_dir: str, step: int, adapter: Params, opt_state) -> None:
+    """Full training-state checkpoint (adapter + optimizer state + step) via
+    orbax — enables exact resume, which the reference lacks entirely
+    (SURVEY.md §5: 'a checkpoint is weights only')."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, "train_state"))
+    ckptr = ocp.StandardCheckpointer()
+    state = {"adapter": adapter, "opt_state": opt_state, "step": jnp.int32(step)}
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_train_state(output_dir: str, adapter_like: Params, opt_state_like):
+    """Restore (adapter, opt_state, step) saved by ``save_train_state``.
+
+    ``*_like`` provide the pytree structure/shapes for orbax restoration.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, "train_state"))
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "adapter": adapter_like,
+        "opt_state": opt_state_like,
+        "step": jnp.int32(0),
+    }
+    state = ckptr.restore(path, target)
+    return state["adapter"], state["opt_state"], int(state["step"])
+
+
 def load_adapter(output_dir: str, dtype: jnp.dtype = jnp.float32) -> Params:
     """Load an adapter saved by ``save_checkpoint_robust`` (any tier)."""
     st = os.path.join(output_dir, "adapter_model.safetensors")
@@ -274,11 +305,16 @@ def train(
     seed: int = 0,
     log_every: int = 10,
     logger=print,
+    resume: bool = False,
+    save_train_state_too: bool = False,
 ) -> Tuple[Params, list]:
     """LoRA training loop (reference defaults: SURVEY.md §2.9).
 
     ``batches`` is any iterable of {"input_ids", "pixel_values", "labels"}
-    numpy/JAX batches (see paligemma_tpu.data for the parquet dataset).
+    numpy/JAX batches (see paligemma_tpu.data for the parquet dataset), or a
+    callable ``epoch -> iterable`` for multi-epoch runs.
+    ``resume=True`` restores adapter+optimizer+step from ``output_dir`` (if a
+    train_state exists) and skips already-trained steps.
     Returns (trained adapter pytree, per-step losses).
     """
     lcfg = lcfg or LoraConfig()
@@ -290,12 +326,19 @@ def train(
 
     losses = []
     step = 0
+    start_step = 0
+    if resume and os.path.exists(os.path.join(output_dir, "train_state")):
+        lora, opt_state, start_step = load_train_state(output_dir, lora, opt_state)
+        logger(f"resumed from step {start_step}")
     for epoch in range(epochs):
         # ``batches`` may be a callable (fresh iterator per epoch), a list, or
         # a one-shot generator (single epoch only).
         epoch_batches = batches(epoch) if callable(batches) else batches
         for batch in epoch_batches:
             key, sub = jax.random.split(key)
+            if step < start_step:  # resume: replay the schedule without work
+                step += 1
+                continue
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             try:
                 loss, lora, opt_state = step_fn(params, lora, opt_state, batch, sub)
@@ -309,5 +352,9 @@ def train(
                 logger(f"epoch {epoch} step {step}: loss {losses[-1]:.4f}")
             if save_every_n_steps and step % save_every_n_steps == 0:
                 save_checkpoint_robust(lora, lcfg, output_dir, step)
+                if save_train_state_too:
+                    save_train_state(output_dir, step, lora, opt_state)
     save_checkpoint_robust(lora, lcfg, output_dir, step, {"final": True})
+    if save_train_state_too:
+        save_train_state(output_dir, step, lora, opt_state)
     return lora, losses

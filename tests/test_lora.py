@@ -113,3 +113,37 @@ def test_train_driver_smoke(tmp_path, params, cfg, sample_inputs):
     )
     assert len(losses) == 3
     assert (tmp_path / "adapter_model.safetensors").exists()
+
+
+def test_train_state_resume(tmp_path, params, cfg, sample_inputs):
+    """Full train-state checkpoint: train 4 steps saving state, then resume
+    from step 2's state and verify the final adapter matches a straight run."""
+    ids, pix = sample_inputs
+    batch = {"input_ids": ids, "pixel_values": pix, "labels": ids}
+    batches = [batch] * 4
+    lcfg = LoraConfig(r=2, alpha=4, dropout=0.0)
+
+    out_a = str(tmp_path / "a")
+    adapter_full, losses_full = lora_lib.train(
+        params, cfg, batches, lcfg=lcfg, lr=1e-2, accum_steps=1,
+        save_every_n_steps=2, output_dir=out_a, log_every=0,
+        save_train_state_too=True,
+    )
+    assert (tmp_path / "a" / "train_state").exists()
+
+    # Re-run but only the first 2 steps, saving state.
+    out_b = str(tmp_path / "b")
+    lora_lib.train(
+        params, cfg, batches[:2], lcfg=lcfg, lr=1e-2, accum_steps=1,
+        save_every_n_steps=2, output_dir=out_b, log_every=0,
+        save_train_state_too=True,
+    )
+    # Resume in out_b and complete steps 3-4.
+    adapter_resumed, losses_resumed = lora_lib.train(
+        params, cfg, batches, lcfg=lcfg, lr=1e-2, accum_steps=1,
+        save_every_n_steps=0, output_dir=out_b, log_every=0,
+        resume=True,
+    )
+    assert len(losses_resumed) == 2  # only steps 3-4 executed
+    for a, b in zip(jax.tree.leaves(adapter_full), jax.tree.leaves(adapter_resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
