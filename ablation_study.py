@@ -104,9 +104,7 @@ class Runner:
     the reference relies on dynamic torch shapes.
     """
 
-    PROMPT_BUCKET = 128  # rounded up per-run to a multiple of this
-
-    def __init__(self, params, cfg, dtype):
+    def __init__(self, params, cfg, dtype, max_new_tokens, prompt_bucket=None):
         import jax
         import jax.numpy as jnp
 
@@ -117,6 +115,14 @@ class Runner:
         self.params, self.cfg, self.dtype = params, cfg, dtype
         self.generation = generation
         self.paligemma = paligemma
+        # ONE static shape for the whole grid: prompts bucket to a fixed
+        # length and the cache/no-cache buffers are sized for the longest
+        # sequence — every arm/length shares the same compiled programs
+        # (remote compiles on this backend cost ~3.5 min each; per-length
+        # shapes would mean ~8 of them).
+        n_img = cfg.vision_config.num_image_tokens
+        self.prompt_bucket = prompt_bucket or (-(-(n_img + 256) // 128) * 128)
+        self.max_new = max_new_tokens
 
         @functools.partial(jax.jit, static_argnames=())
         def nocache_step(params, ids_buf, pix, valid_len, temperature, key):
@@ -145,10 +151,11 @@ class Runner:
         return np.asarray(x)
 
     def _bucket(self, ids):
-        """Right-pad ids to the bucket; returns (padded ids, valid, bucket)."""
+        """Right-pad ids to the fixed bucket; returns (padded, valid, bucket)."""
         jnp = self.jnp
         t0 = ids.shape[1]
-        bucket = -(-t0 // self.PROMPT_BUCKET) * self.PROMPT_BUCKET
+        bucket = self.prompt_bucket
+        assert t0 <= bucket, f"prompt {t0} exceeds bucket {bucket}"
         padded = jnp.zeros((ids.shape[0], bucket), jnp.int32)
         padded = padded.at[:, :t0].set(ids)
         valid = jnp.full((ids.shape[0],), t0, jnp.int32)
@@ -161,7 +168,7 @@ class Runner:
 
         ids_p, valid, bucket = self._bucket(ids)
         cache = self.generation.make_cache(
-            self.cfg, ids.shape[0], bucket, max_tokens, self.dtype
+            self.cfg, ids.shape[0], bucket, self.max_new, self.dtype
         )
 
         # Prefill phase — untimed (reference: ablation_study_fixed.py:193-202).
@@ -216,6 +223,10 @@ class Runner:
         jax, jnp = self.jax, self.jnp
         b = ids.shape[0]
         ids_p, valid, bucket = self._bucket(ids)
+        # Per-length buffer: the uncached arm's cost must scale with the
+        # actual sequence length (the scaling curve is the point of the
+        # ablation); one compile per length, absorbed by the per-config
+        # warm-up run.
         buf = jnp.concatenate(
             [ids_p, jnp.zeros((b, max_tokens), jnp.int32)], axis=1
         )
@@ -275,13 +286,14 @@ def run_inference(runner, processor, image_path, prompt, config, return_tokens=F
     if peak_memory == 0:
         # Backend exposes no memory_stats (tunneled PJRT): report an analytic
         # in-use lower bound — params + KV cache (+ padded ids buffer).
-        from paligemma_tpu.utils.memory import estimate_live_mb, tree_bytes
+        from paligemma_tpu.utils.memory import estimate_live_mb
 
         peak_memory = estimate_live_mb(runner.params)
         if config["kv_cache"]:
             tc = runner.cfg.text_config
             cache_bytes = (
-                2 * tc.num_hidden_layers * (ids.shape[1] + max_tokens)
+                2 * tc.num_hidden_layers
+                * (runner.prompt_bucket + runner.max_new)
                 * tc.num_key_value_heads * tc.head_dim
                 * jnp.dtype(runner.dtype).itemsize
             )
@@ -398,7 +410,7 @@ def main(argv=None):
 
     print("Step 2: Loading model...")
     params, cfg, processor, dtype = build_model(args)
-    runner = Runner(params, cfg, dtype)
+    runner = Runner(params, cfg, dtype, max_new_tokens=max(lengths))
     print("ok\n")
 
     print("Step 3: Warmup run...")
