@@ -17,16 +17,63 @@ def greedy(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def _nucleus_threshold(probs: jnp.ndarray, top_p: float, iters: int = 30) -> jnp.ndarray:
+    """Binary-search the probability threshold of the top-p nucleus.
+
+    Returns t (B, 1): the largest threshold for which the mass of
+    ``probs >= t`` still exceeds p — so ``probs >= t`` is exactly the
+    reference's sorted-prefix nucleus (the smallest prefix whose cumulative
+    mass crosses p), up to ties at the boundary probability.
+
+    Sort-free: only masked sums, O(V) per iteration on the VPU. (The direct
+    routes both misbehave at 257k vocab on TPU: a full argsort costs
+    ~4.5 ms/token, and ``lax.top_k`` at k>=1k crashes this libtpu's
+    TopkEmitter.)
+    """
+    lo = jnp.zeros(probs.shape[:-1] + (1,), jnp.float32)
+    hi = jnp.max(probs, axis=-1, keepdims=True)
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = (lo + hi) * 0.5
+        mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1, keepdims=True)
+        feasible = mass > top_p
+        return jnp.where(feasible, mid, lo), jnp.where(feasible, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
 def sample_top_p(
     logits: jnp.ndarray,
     key: jax.Array,
     temperature: float = 0.8,
     top_p: float = 0.9,
+    method: str = "auto",
 ) -> jnp.ndarray:
-    """Temperature + nucleus sampling. logits: (B, V) -> (B,) int32."""
+    """Temperature + nucleus sampling. logits: (B, V) -> (B,) int32.
+
+    ``method``: "sort" runs the reference's exact sorted-prefix algorithm
+    (inference.py:15-24); "threshold" selects the same nucleus by
+    binary-searched probability threshold without sorting (4.5 ms/token
+    cheaper at 257k vocab); "auto" picks threshold for vocab > 16384.
+    Both sample the same renormalized distribution; the drawn stream differs
+    per method (parity is distributional — SURVEY.md §7).
+    """
     probs = jax.nn.softmax(
         logits.astype(jnp.float32) / jnp.float32(temperature), axis=-1
     )
+    v = probs.shape[-1]
+    if method == "auto":
+        method = "threshold" if v > 16384 else "sort"
+
+    if method == "threshold":
+        t = _nucleus_threshold(probs, top_p)
+        kept = jnp.where(probs >= t, probs, 0.0)
+        kept = kept / jnp.sum(kept, axis=-1, keepdims=True)
+        draw = jax.random.categorical(key, jnp.log(kept + 1e-30), axis=-1)
+        return draw.astype(jnp.int32)
+
     sort_idx = jnp.argsort(-probs, axis=-1)
     probs_sort = jnp.take_along_axis(probs, sort_idx, axis=-1)
     cumsum = jnp.cumsum(probs_sort, axis=-1)

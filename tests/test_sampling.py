@@ -85,3 +85,17 @@ def test_sampled_generation_reproducible():
     c, _ = generation.generate(params, cfg, ids, pix, key=jax.random.PRNGKey(8), **kw)
     assert a == b
     assert a != c  # overwhelmingly likely at temperature 1.5
+
+
+def test_threshold_method_selects_same_nucleus():
+    """Threshold nucleus == sorted-prefix nucleus on known distributions."""
+    probs = np.array([0.6, 0.3, 0.08, 0.02])
+    logits = jnp.log(jnp.asarray(probs))[None, :]
+    for p, nucleus in [(0.5, {0}), (0.8, {0, 1}), (0.95, {0, 1, 2}), (1.0, {0, 1, 2, 3})]:
+        draws = {
+            int(sample_top_p(logits, jax.random.PRNGKey(i), 1.0, p, method="threshold")[0])
+            for i in range(200)
+        }
+        assert draws <= nucleus, (p, draws)
+        # most-probable token always reachable
+        assert 0 in draws
