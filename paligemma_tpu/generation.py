@@ -129,8 +129,16 @@ def generate(
     ``step_callback(step)`` is invoked after each device-synced step — the
     hook the ablation harness uses for steady-state timing.
     Returns (generated token ids as a Python list, final cache).
+
+    Batch-1 only, like the reference driver (inference.py:69 asserts
+    ``(1, 1)`` tokens); use ``paligemma_tpu.serving.batch_generate`` for
+    batched decoding.
     """
     b, t = input_ids.shape
+    if b != 1:
+        raise ValueError(
+            f"generate() is batch-1 (got batch {b}); use serving.batch_generate"
+        )
     cache = make_cache(cfg, b, t, max_new_tokens, cache_dtype)
     logits, cache = _prefill_jit(params, cfg, input_ids, pixel_values, cache)
     if key is None:
