@@ -265,6 +265,7 @@ def forward(
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
     lora_keys: Optional[jax.Array] = None,
+    hidden_sharding=None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Decoder trunk: embeds -> hidden states (reference: GemmaModel.forward).
 
@@ -314,6 +315,12 @@ def forward(
             cfg, x["lp"], carry, cos, sin, cache_kv, write_pos, mask,
             x.get("lora"), lora_scale, lora_dropout, x.get("lkey"),
         )
+        if hidden_sharding is not None:
+            # Sequence-parallel residual stream: GSPMD keeps the (B, T, D)
+            # activations sharded (e.g. T over the model axis) between
+            # blocks, inserting the gather/scatter collectives around the
+            # TP matmuls (Megatron-SP layout). No-op on a single device.
+            new_h = jax.lax.with_sharding_constraint(new_h, hidden_sharding)
         return new_h, (new_kv if use_cache else None)
 
     h, ys = jax.lax.scan(body, h, xs)

@@ -132,6 +132,7 @@ def prefill(
     pixel_values: jnp.ndarray,
     cache: KVCache,
     full_logits: bool = True,
+    hidden_sharding=None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Prefill forward: image + templated prompt -> fp32 logits + warm cache.
 
@@ -148,7 +149,8 @@ def prefill(
     embeds = merge_prefix(params, cfg, input_ids, image_features)
     positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
     hidden, new_cache = gemma.forward(
-        params["llm"], cfg.text_config, embeds, positions, cache=cache
+        params["llm"], cfg.text_config, embeds, positions, cache=cache,
+        hidden_sharding=hidden_sharding,
     )
     if not full_logits:
         hidden = hidden[:, -1:, :]

@@ -20,18 +20,33 @@ from paligemma_tpu.config import PaliGemmaConfig
 from paligemma_tpu.lora import LoraConfig
 from paligemma_tpu.models import paligemma
 from paligemma_tpu.parallel import sharding as shd
-from paligemma_tpu.parallel.mesh import DATA_AXIS
+from paligemma_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
-def make_sharded_prefill(cfg: PaliGemmaConfig, mesh: Mesh):
-    """Sharded prefill: params TP-sharded, batch DP-sharded, cache sharded."""
+def make_sharded_prefill(
+    cfg: PaliGemmaConfig, mesh: Mesh, sequence_parallel: bool = False
+):
+    """Sharded prefill: params TP-sharded, batch DP-sharded, cache sharded.
+
+    ``sequence_parallel=True`` additionally keeps the decoder's residual
+    stream sharded along the sequence axis over the MODEL mesh axis between
+    blocks (Megatron-SP layout) — GSPMD inserts the all-gather/reduce-scatter
+    pairs around the TP matmuls.
+    """
     pshard = shd.param_shardings(cfg, mesh)
     batch = NamedSharding(mesh, P(DATA_AXIS))
     cache = shd.cache_shardings(mesh)
     rep = NamedSharding(mesh, P())
+    hidden = (
+        NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+        if sequence_parallel
+        else None
+    )
 
     return jax.jit(
-        lambda params, ids, pix, kv: paligemma.prefill(params, cfg, ids, pix, kv),
+        lambda params, ids, pix, kv: paligemma.prefill(
+            params, cfg, ids, pix, kv, hidden_sharding=hidden
+        ),
         in_shardings=(pshard, batch, batch, cache),
         out_shardings=(rep, cache),
     )

@@ -103,3 +103,19 @@ def test_sharded_train_step_runs_and_matches(cfg, params, batch_inputs):
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(ref_adapter), jax.tree.leaves(new_adapter)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_sequence_parallel_prefill_matches_single(cfg, params, batch_inputs):
+    """Megatron-SP residual-stream sharding must not change the numbers."""
+    ids, pix = batch_inputs
+    cache = generation.make_cache(cfg, ids.shape[0], ids.shape[1], 4, jnp.float32)
+    ref_logits, _ = paligemma.prefill(params, cfg, ids, pix, cache)
+
+    mesh = make_mesh(data=2, model=4)
+    sparams = jax.device_put(params, shd.param_shardings(cfg, mesh))
+    scache = jax.device_put(cache, shd.cache_shardings(mesh))
+    prefill_sp = steps.make_sharded_prefill(cfg, mesh, sequence_parallel=True)
+    logits, _ = prefill_sp(sparams, ids, pix, scache)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
