@@ -185,6 +185,15 @@ def load_model(
     return hf_to_params(flat, cfg, dtype), cfg
 
 
+def load_hf_model(model_path: str, dtype: jnp.dtype = jnp.bfloat16):
+    """Familiar-name alias for ``load_model`` (reference: utils.py:6).
+
+    Returns (params, config) — the tokenizer is loaded separately (pass an
+    HF AutoTokenizer into PaliGemmaProcessor when its assets are available).
+    """
+    return load_model(model_path, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Native pytree save/load (flat safetensors).
 # ---------------------------------------------------------------------------
