@@ -114,25 +114,30 @@ def main() -> None:
     pf_bf, tps_bf, mspt_bf, toks_bf = measure(params, cfg, ids, pix, dtype)
     log(f"bf16: prefill {pf_bf:.1f} ms | {mspt_bf:.2f} ms/token = {tps_bf:.1f} tok/s")
 
-    t0 = time.time()
-    qparams = quantize_params(params, llm_only=True)
-    jax.block_until_ready(qparams)
-    del params
-    log(f"quantize (llm-only int8): {time.time() - t0:.1f}s")
+    # The int8 arm is strictly additive: any failure there falls back to the
+    # already-measured bf16 number rather than losing the round's benchmark.
+    value, pf = tps_bf, pf_bf
+    try:
+        t0 = time.time()
+        qparams = quantize_params(params, llm_only=True)
+        jax.block_until_ready(qparams)
+        del params
+        log(f"quantize (llm-only int8): {time.time() - t0:.1f}s")
 
-    pf_q, tps_q, mspt_q, toks_q = measure(qparams, cfg, ids, pix, dtype)
-    log(f"int8: prefill {pf_q:.1f} ms | {mspt_q:.2f} ms/token = {tps_q:.1f} tok/s")
-    log(f"peak HBM {peak_memory_mb():.0f} MB")
+        pf_q, tps_q, mspt_q, toks_q = measure(qparams, cfg, ids, pix, dtype)
+        log(f"int8: prefill {pf_q:.1f} ms | {mspt_q:.2f} ms/token = {tps_q:.1f} tok/s")
+        log(f"peak HBM {peak_memory_mb():.0f} MB")
 
-    identical = toks_bf == toks_q
-    log(f"int8 vs bf16 token identity over {len(toks_bf)} tokens: {identical}")
+        identical = toks_bf == toks_q
+        log(f"int8 vs bf16 token identity over {len(toks_bf)} tokens: {identical}")
 
-    if identical and tps_q > tps_bf:
-        value, pf = tps_q, pf_q
-        log("headline: int8 serving config (token-identical to bf16)")
-    else:
-        value, pf = tps_bf, pf_bf
-        log("headline: bf16 reference-parity config")
+        if identical and tps_q > tps_bf:
+            value, pf = tps_q, pf_q
+            log("headline: int8 serving config (token-identical to bf16)")
+        else:
+            log("headline: bf16 reference-parity config")
+    except Exception as e:  # pragma: no cover - environment failures
+        log(f"int8 arm failed ({e!r}); reporting bf16 reference-parity config")
 
     print(
         json.dumps(

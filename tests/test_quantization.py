@@ -65,3 +65,13 @@ def test_quantized_generation_runs(params, cfg, sample_inputs):
         cache_dtype=jnp.float32, stop_at_eos=False,
     )
     assert toks[0] == ref_toks[0]
+
+
+def test_bf16_serving_dtype_argmax_agreement(params, cfg, sample_inputs):
+    """bf16 params (the TPU serving dtype) keep fp32's greedy decisions on
+    the tiny model — the dtype analog of the fp16-weight reference."""
+    ids, pix = sample_inputs
+    ref = paligemma.forward_nocache(params, cfg, ids, pix)
+    bf = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    out = paligemma.forward_nocache(bf, cfg, ids, pix.astype(jnp.bfloat16))
+    assert int(jnp.argmax(ref[0, -1])) == int(jnp.argmax(out[0, -1]))
