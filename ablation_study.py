@@ -381,6 +381,8 @@ def main(argv=None):
     p.add_argument("--output_dir", type=str, default=OUTPUT_DIR)
     p.add_argument("--smoke", action="store_true",
                    help="reduced grid for CI: 2 images, 2 runs, short lengths")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="int8: run the grid with weight-only-quantized decoder")
     args = p.parse_args(argv)
 
     num_runs = 2 if args.smoke else NUM_RUNS_PER_IMAGE
@@ -410,6 +412,11 @@ def main(argv=None):
 
     print("Step 2: Loading model...")
     params, cfg, processor, dtype = build_model(args)
+    if args.quant == "int8":
+        from paligemma_tpu.quantization import quantize_params
+
+        params = quantize_params(params, llm_only=True)
+        print("  int8 weight-only quantization applied (llm_only)")
     runner = Runner(params, cfg, dtype, max_new_tokens=max(lengths))
     print("ok\n")
 

@@ -25,37 +25,45 @@ from paligemma_tpu.models import paligemma, siglip
 from paligemma_tpu.utils.checkpoint import load_model
 
 
-@pytest.fixture(scope="module")
-def hf_setup(tmp_path_factory):
+GEOMETRIES = {
+    # minimal shapes
+    "tiny": dict(
+        vision=dict(hidden_size=24, intermediate_size=48, num_attention_heads=4,
+                    num_hidden_layers=2, patch_size=8, image_size=32),
+        text=dict(hidden_size=32, intermediate_size=64, num_attention_heads=4,
+                  num_key_value_heads=2, head_dim=8, num_hidden_layers=2,
+                  vocab_size=260),
+        projection_dim=32,
+    ),
+    # real paligemma-3b-pt-224 ratios scaled down: SigLIP patch 14 with a
+    # non-128-aligned head_dim, Gemma GQA 4:1, 3 layers each
+    "medium": dict(
+        vision=dict(hidden_size=72, intermediate_size=144, num_attention_heads=4,
+                    num_hidden_layers=3, patch_size=14, image_size=56),
+        text=dict(hidden_size=64, intermediate_size=256, num_attention_heads=4,
+                  num_key_value_heads=1, head_dim=16, num_hidden_layers=3,
+                  vocab_size=1024),
+        projection_dim=64,
+    ),
+}
+
+
+@pytest.fixture(scope="module", params=["tiny", "medium"])
+def hf_setup(request, tmp_path_factory):
     from transformers import (
         PaliGemmaConfig as HFPaliGemmaConfig,
         PaliGemmaForConditionalGeneration,
     )
 
+    geo = GEOMETRIES[request.param]
+    image_token = geo["text"]["vocab_size"] - 4
     hf_cfg = HFPaliGemmaConfig(
-        vision_config=dict(
-            hidden_size=24,
-            intermediate_size=48,
-            num_attention_heads=4,
-            num_hidden_layers=2,
-            patch_size=8,
-            image_size=32,
-            projection_dim=32,
-        ),
-        text_config=dict(
-            hidden_size=32,
-            intermediate_size=64,
-            num_attention_heads=4,
-            num_key_value_heads=2,
-            head_dim=8,
-            num_hidden_layers=2,
-            vocab_size=260,
-            max_position_embeddings=512,
-        ),
-        image_token_index=256,
+        vision_config=dict(projection_dim=geo["projection_dim"], **geo["vision"]),
+        text_config=dict(max_position_embeddings=512, **geo["text"]),
+        image_token_index=image_token,
         pad_token_id=0,
-        projection_dim=32,
-        hidden_size=32,
+        projection_dim=geo["projection_dim"],
+        hidden_size=geo["text"]["hidden_size"],
     )
     hf_cfg._attn_implementation = "eager"
     torch.manual_seed(0)
@@ -67,11 +75,12 @@ def hf_setup(tmp_path_factory):
 
     n_img = cfg.vision_config.num_image_tokens
     rng = np.random.RandomState(0)
-    text_ids = rng.randint(2, 250, size=(1, 7))
+    text_ids = rng.randint(2, image_token - 8, size=(1, 7))
     ids = np.concatenate(
         [np.full((1, n_img), cfg.image_token_index), text_ids], axis=1
     ).astype(np.int64)
-    pix = rng.randn(1, 3, 32, 32).astype(np.float32)
+    size = cfg.vision_config.image_size
+    pix = rng.randn(1, 3, size, size).astype(np.float32)
     return model, params, cfg, ids, pix
 
 
