@@ -60,7 +60,7 @@ def test_inference(
         cache_dtype = jax.tree.leaves(params)[0].dtype
     pix = pix.astype(cache_dtype)
 
-    tokens, _ = generation.generate(
+    tokens = generation.generate_chunked(
         params,
         cfg,
         ids,

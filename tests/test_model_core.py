@@ -210,3 +210,30 @@ class TestLoss:
                     total -= float(lp[b, t, lab[b, t]])
                     count += 1
         np.testing.assert_allclose(float(loss), total / count, rtol=1e-5)
+
+
+class TestChunkedGeneration:
+    def test_chunked_matches_loop_greedy(self, params, cfg, sample_inputs):
+        ids, pix = sample_inputs
+        loop, _ = generation.generate(
+            params, cfg, ids, pix, 10, eos_token_id=-1,
+            cache_dtype=jnp.float32, stop_at_eos=False,
+        )
+        chunked = generation.generate_chunked(
+            params, cfg, ids, pix, 10, eos_token_id=-1,
+            cache_dtype=jnp.float32, chunk=4,
+        )
+        assert chunked == loop
+
+    def test_chunked_eos_trim(self, params, cfg, sample_inputs):
+        ids, pix = sample_inputs
+        loop, _ = generation.generate(
+            params, cfg, ids, pix, 10, eos_token_id=-1,
+            cache_dtype=jnp.float32, stop_at_eos=False,
+        )
+        eos = loop[0]
+        chunked = generation.generate_chunked(
+            params, cfg, ids, pix, 10, eos_token_id=eos,
+            cache_dtype=jnp.float32, chunk=4,
+        )
+        assert chunked == [eos]
