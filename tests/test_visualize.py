@@ -1,0 +1,44 @@
+"""Figure generator: reads measured summaries, falls back to published data."""
+import json
+import os
+
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+
+import visualize_results
+
+
+def _summary(tmp_path):
+    s = {}
+    for n in (128, 256):
+        for cached in (True, False):
+            name = f"{'kv_cache' if cached else 'no_kv_cache'}_{n}"
+            base = 7.0 if cached else 20.0 + n / 50
+            s[name] = {
+                "sequence_length": n,
+                "kv_cache_enabled": cached,
+                "num_samples": 25,
+                "steady_state_tps": {"mean": 1000 / base, "ci_95": 0.5, "std": 0.4},
+                "steady_state_ms_per_token": {"mean": base, "ci_95": 0.1, "std": 0.1},
+                "peak_memory_mb": {"mean": 5000.0, "ci_95": 1.0, "std": 1.0},
+                "tokens_generated": {"mean": float(n)},
+            }
+    p = tmp_path / "summary_statistics.json"
+    p.write_text(json.dumps(s))
+    return str(p)
+
+
+def test_figures_from_measured(tmp_path):
+    results = _summary(tmp_path)
+    out = tmp_path / "figs"
+    visualize_results.main(["--results", results, "--out_dir", str(out)])
+    for i in range(1, 6):
+        assert any(f.startswith(f"fig{i}_") and f.endswith(".pdf") for f in os.listdir(out))
+        assert any(f.startswith(f"fig{i}_") and f.endswith(".png") for f in os.listdir(out))
+
+
+def test_figures_fallback_to_published(tmp_path):
+    out = tmp_path / "figs"
+    visualize_results.main(["--results", str(tmp_path / "missing.json"), "--out_dir", str(out)])
+    assert len(os.listdir(out)) == 10
