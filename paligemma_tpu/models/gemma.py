@@ -174,9 +174,13 @@ def _attention(
     k = _proj(x, lp["k"])
     v = _proj(x, lp["v"])
     if lora is not None:
-        q = q + _lora_delta(x, lora["q"], lora_scale, lora_dropout, lora_key)
-        k = k + _lora_delta(x, lora["k"], lora_scale, lora_dropout, lora_key)
-        v = v + _lora_delta(x, lora["v"], lora_scale, lora_dropout, lora_key)
+        # Independent dropout masks per adapted module, like peft's LoraLayer.
+        kq = kk = kv = None
+        if lora_key is not None:
+            kq, kk, kv = (jax.random.fold_in(lora_key, i) for i in range(3))
+        q = q + _lora_delta(x, lora["q"], lora_scale, lora_dropout, kq)
+        k = k + _lora_delta(x, lora["k"], lora_scale, lora_dropout, kk)
+        v = v + _lora_delta(x, lora["v"], lora_scale, lora_dropout, kv)
     q = q.reshape(b, t, h, hd)
     k = k.reshape(b, t, hkv, hd)
     v = v.reshape(b, t, hkv, hd)
