@@ -72,12 +72,38 @@ def _stack_linear(flat, template, num_layers) -> np.ndarray:
     )
 
 
+def normalize_hf_keys(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalize checkpoint key layouts to the hub format this loader targets.
+
+    google/paligemma-3b-pt-224 (and transformers<=4.51 save_pretrained) use
+    ``language_model.model.layers...`` / ``vision_tower...``; transformers'
+    refactored models may save ``model.language_model.layers...``. Remap the
+    latter to the former.
+    """
+    if "language_model.model.embed_tokens.weight" in flat:
+        return flat
+    if not any(k.startswith("model.") for k in flat):
+        return flat
+    out = {}
+    for k, v in flat.items():
+        if k.startswith("model.language_model."):
+            out["language_model.model." + k[len("model.language_model."):]] = v
+        elif k.startswith("model."):
+            out[k[len("model."):]] = v
+        elif k == "lm_head.weight":
+            out["language_model.lm_head.weight"] = v
+        else:
+            out[k] = v
+    return out
+
+
 def hf_to_params(
     flat: Dict[str, np.ndarray],
     cfg: PaliGemmaConfig,
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> Dict[str, Any]:
     """Map a flat HF PaliGemma state dict to our parameter pytree."""
+    flat = normalize_hf_keys(flat)
     vcfg, tcfg = cfg.vision_config, cfg.text_config
     vl, tl = vcfg.num_hidden_layers, tcfg.num_hidden_layers
 

@@ -123,3 +123,25 @@ def test_greedy_decode_token_parity(hf_setup):
         stop_at_eos=False,
     )
     assert ours == hf_tokens
+
+
+def test_new_style_key_normalization(hf_setup, tmp_path):
+    """Checkpoints saved with transformers' refactored 'model.*' key layout
+    load identically to the hub layout."""
+    from paligemma_tpu.utils.checkpoint import normalize_hf_keys
+
+    model, params, cfg, ids, pix = hf_setup
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}  # model.* layout
+    normalized = normalize_hf_keys(sd)
+    assert "language_model.model.embed_tokens.weight" in normalized
+    assert "vision_tower.vision_model.post_layernorm.weight" in normalized
+
+    from paligemma_tpu.utils.checkpoint import hf_to_params
+    import jax.numpy as jnp
+    import numpy as np
+
+    params2 = hf_to_params(sd, cfg, dtype=jnp.float32)
+    for a, b in zip(
+        __import__("jax").tree.leaves(params), __import__("jax").tree.leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
