@@ -92,6 +92,12 @@ def merge_lora(params: Params, lora: Params, lcfg: LoraConfig) -> Params:
     """
     new_layers = dict(params["llm"]["layers"])
     for name in ("q", "k", "v"):
+        base_kernel = new_layers[name]
+        if not hasattr(base_kernel, "dtype"):  # QTensor etc.
+            raise TypeError(
+                "merge_lora requires unquantized base kernels; merge into the "
+                "bf16/fp32 params first, then quantize_params() the result"
+            )
         ad = lora["layers"][name]
         delta = jnp.einsum("ldr,lre->lde", ad["a"].astype(jnp.float32),
                            ad["b"].astype(jnp.float32)) * lcfg.scale

@@ -218,6 +218,54 @@ def forward_nocache(
     return gemma.logits(params["llm"], hidden)
 
 
+def forward(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    pixel_values: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    kv_cache: Optional[KVCache] = None,
+    labels: Optional[jnp.ndarray] = None,
+) -> Dict[str, Any]:
+    """Reference-shaped forward (reference: modeling_gemma.py:539-617).
+
+    Returns ``{"logits"[, "loss"][, "kv_cache"]}``. Routing mirrors the
+    reference's cache protocol: empty/None cache -> full prefix forward
+    (prefill when a cache is supplied); single-token input with a warm cache
+    -> decode step. ``attention_mask`` must be all ones (the reference's
+    "input cannot be padded" contract, modeling_gemma.py:559) — padded
+    batches go through ``paligemma_tpu.serving`` instead.
+    """
+    if attention_mask is not None:
+        assert bool(jnp.all(attention_mask == 1)), "The input cannot be padded"
+
+    out: Dict[str, Any] = {}
+    if kv_cache is None:
+        logits = forward_nocache(params, cfg, input_ids, pixel_values)
+    else:
+        # Routing on the cache fill level is a host-side decision, exactly as
+        # the reference's num_items() branch (modeling_gemma.py:506-511);
+        # wrap prefill/decode_step directly when calling under jit.
+        if int(kv_cache.length) > 0:
+            logits, kv_cache = decode_step(params, cfg, input_ids, kv_cache)
+        else:
+            logits, kv_cache = prefill(params, cfg, input_ids, pixel_values, kv_cache)
+        out["kv_cache"] = kv_cache
+    out["logits"] = logits
+
+    if labels is not None:
+        shift_logits = logits[:, :-1, :]
+        shift_labels = labels[:, 1:]
+        valid = shift_labels != cfg.ignore_index
+        safe = jnp.where(valid, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+        tok_lp = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        out["loss"] = -jnp.sum(jnp.where(valid, tok_lp, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1
+        )
+    return out
+
+
 def loss_fn(
     params: Params,
     cfg: PaliGemmaConfig,

@@ -237,3 +237,42 @@ class TestChunkedGeneration:
             cache_dtype=jnp.float32, chunk=4,
         )
         assert chunked == [eos]
+
+
+class TestReferenceForwardAPI:
+    def test_forward_dict_contract(self, params, cfg, sample_inputs):
+        """Reference-shaped forward: prefill -> decode via the kv_cache dict
+        protocol (reference: modeling_gemma.py:539-617, inference.py:55-78)."""
+        ids, pix = sample_inputs
+        mask = jnp.ones_like(ids)
+        cache = generation.make_cache(cfg, 1, ids.shape[1], 4, jnp.float32)
+        out = paligemma.forward(params, cfg, ids, pix, mask, kv_cache=cache)
+        assert set(out) == {"logits", "kv_cache"}
+        ref, _ = paligemma.prefill(
+            params, cfg, ids, pix,
+            generation.make_cache(cfg, 1, ids.shape[1], 4, jnp.float32),
+        )
+        np.testing.assert_array_equal(np.asarray(out["logits"]), np.asarray(ref))
+
+        tok = jnp.argmax(out["logits"][:, -1:, :], -1).astype(jnp.int32)
+        out2 = paligemma.forward(params, cfg, tok, kv_cache=out["kv_cache"])
+        assert out2["logits"].shape[1] == 1
+        assert int(out2["kv_cache"].length) == ids.shape[1] + 1
+
+    def test_forward_loss_and_padding_assert(self, params, cfg, sample_inputs):
+        ids, pix = sample_inputs
+        out = paligemma.forward(params, cfg, ids, pix, labels=ids)
+        assert "loss" in out and np.isfinite(float(out["loss"]))
+        padded_mask = jnp.ones_like(ids).at[0, -1].set(0)
+        with pytest.raises(AssertionError, match="cannot be padded"):
+            paligemma.forward(params, cfg, ids, pix, padded_mask)
+
+    def test_merge_lora_rejects_quantized(self, params, cfg):
+        from paligemma_tpu import lora as lora_lib
+        from paligemma_tpu.quantization import quantize_params
+
+        lcfg = lora_lib.LoraConfig(r=2, alpha=4)
+        adapter = lora_lib.init_lora(cfg, lcfg, jax.random.PRNGKey(0))
+        qp = quantize_params(params, llm_only=True)
+        with pytest.raises(TypeError, match="unquantized"):
+            lora_lib.merge_lora(qp, adapter, lcfg)
