@@ -131,6 +131,20 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     engine = Engine(args.model_path, demo=args.demo or not args.model_path)
+
+    # Warm-up: pay the jit compiles before accepting traffic so the first
+    # request is fast.
+    try:
+        from PIL import Image
+
+        size = engine.cfg.vision_config.image_size
+        engine.generate(
+            "warmup", Image.new("RGB", (size, size)), 4, 0.0, 0.9, False
+        )
+        print("warm-up complete", file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"warm-up failed: {e!r}", file=sys.stderr, flush=True)
+
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(engine))
     print(f"serving on http://127.0.0.1:{args.port}", flush=True)
     server.serve_forever()
