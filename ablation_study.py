@@ -391,10 +391,6 @@ def main(argv=None):
 
     import jax
 
-    from paligemma_tpu.runtime import enable_compilation_cache
-
-    enable_compilation_cache()
-
     print("=" * 80)
     print("PALIGEMMA KV-CACHE ABLATION STUDY — TPU")
     print("=" * 80)

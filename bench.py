@@ -89,9 +89,6 @@ def measure(params, cfg, ids, pix, dtype):
 
 
 def main() -> None:
-    from paligemma_tpu.runtime import enable_compilation_cache
-
-    enable_compilation_cache()
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()

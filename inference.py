@@ -129,9 +129,6 @@ def main(argv=None):
 
     if args.only_cpu:
         jax.config.update("jax_platforms", "cpu")
-    from paligemma_tpu.runtime import enable_compilation_cache
-
-    enable_compilation_cache()
     print("Device in use: ", jax.devices()[0])
 
     print("Loading model")

@@ -15,6 +15,12 @@ from paligemma_tpu.config import (
     tiny_config,
 )
 from paligemma_tpu.models.gemma import KVCache
+from paligemma_tpu.runtime import enable_compilation_cache
+
+# Remote compiles on the tunneled TPU backend cost minutes; persist them
+# across processes for every entry point. No-op if the user already
+# configured jax_compilation_cache_dir.
+enable_compilation_cache()
 
 __version__ = "0.1.0"
 

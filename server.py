@@ -129,9 +129,6 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    from paligemma_tpu.runtime import enable_compilation_cache
-
-    enable_compilation_cache()
 
     engine = Engine(args.model_path, demo=args.demo or not args.model_path)
 
