@@ -192,7 +192,11 @@ def generate_chunked(
     b, t = input_ids.shape
     if b != 1:
         raise ValueError("generate_chunked is batch-1; use serving.batch_generate")
-    cache = make_cache(cfg, b, t, max_new_tokens, cache_dtype)
+    # Over-allocate to a whole number of chunks so every dispatch reuses ONE
+    # compiled n_steps program (a ragged tail would compile a second shape —
+    # minutes on the remote-compile backend); surplus tokens are trimmed.
+    alloc = -(-max(max_new_tokens - 1, 1) // chunk) * chunk + 1
+    cache = make_cache(cfg, b, t, alloc, cache_dtype)
     logits, cache = _prefill_jit(params, cfg, input_ids, pixel_values, cache)
     key = key if key is not None else jax.random.PRNGKey(0)
 
@@ -208,17 +212,16 @@ def generate_chunked(
     remaining = max_new_tokens - 1
     tok = tok[:, None]
     while remaining > 0:
-        n = min(chunk, remaining)
         key, sub = jax.random.split(key)
         toks, tok, cache = decode_steps(
-            params, cfg, tok, cache, sub, n, do_sample, temperature, top_p
+            params, cfg, tok, cache, sub, chunk, do_sample, temperature, top_p
         )
-        chunk_list = toks[0].tolist()
-        out.extend(chunk_list)
-        remaining -= n
-        if eos_token_id in chunk_list:
-            return out[: out.index(eos_token_id) + 1]
-    return out
+        out.extend(toks[0].tolist())
+        remaining -= chunk
+        capped = out[:max_new_tokens]  # overshoot past max_new doesn't count
+        if eos_token_id in capped:
+            return capped[: capped.index(eos_token_id) + 1]
+    return out[:max_new_tokens]
 
 
 @functools.partial(

@@ -159,6 +159,7 @@ def _attention(
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
     lora_key: Optional[jax.Array] = None,
+    auto_mask: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """GQA attention for one layer (reference: modeling_gemma.py:201-293).
 
@@ -207,7 +208,15 @@ def _attention(
 
     from paligemma_tpu import runtime
 
-    if runtime.use_pallas_attention and decode_over_cache and write_pos is not None:
+    if (
+        runtime.use_pallas_attention
+        and decode_over_cache
+        and write_pos is not None
+        and auto_mask
+    ):
+        # Only when the mask is the auto-generated contiguous validity window
+        # [0, write_pos+1): the kernel reconstructs exactly that. Custom masks
+        # (e.g. batched serving's per-row padding holes) take the XLA path.
         from paligemma_tpu.ops.pallas_attention import decode_attention
 
         attn = decode_attention(q, k, v, write_pos + 1, scale=hd**-0.5)
@@ -243,13 +252,14 @@ def _decoder_layer(
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
     lora_key: Optional[jax.Array] = None,
+    auto_mask: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Pre-RMSNorm decoder block (reference: modeling_gemma.py:295-338)."""
     residual = h
     x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
     attn_out, new_kv = _attention(
         cfg, lp, x, cos, sin, cache_kv, write_pos, mask,
-        lora, lora_scale, lora_dropout, lora_key,
+        lora, lora_scale, lora_dropout, lora_key, auto_mask,
     )
     h = residual + attn_out
     residual = h
@@ -297,6 +307,7 @@ def forward(
     use_cache = cache is not None
     use_lora = lora is not None
     write_pos = cache.length if use_cache else None
+    auto_mask = mask is None  # caller did not supply a custom mask
     if use_cache:
         t = inputs_embeds.shape[1]
         if mask is None and t == 1:
@@ -317,7 +328,7 @@ def forward(
         cache_kv = (x["ck"], x["cv"]) if use_cache else None
         new_h, new_kv = _decoder_layer(
             cfg, x["lp"], carry, cos, sin, cache_kv, write_pos, mask,
-            x.get("lora"), lora_scale, lora_dropout, x.get("lkey"),
+            x.get("lora"), lora_scale, lora_dropout, x.get("lkey"), auto_mask,
         )
         if hidden_sharding is not None:
             # Sequence-parallel residual stream: GSPMD keeps the (B, T, D)

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 from paligemma_tpu.config import PaliGemmaConfig
 from paligemma_tpu.models import gemma, siglip
 from paligemma_tpu.models.gemma import KVCache
-from paligemma_tpu.ops.attention import MASK_VALUE
 
 Params = Dict[str, Any]
 
@@ -204,12 +203,9 @@ def forward_nocache(
     positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
     mask = None
     if valid_len is not None:
-        s = jnp.arange(t)
-        valid = jnp.asarray(valid_len).reshape(-1, 1)
-        m = jnp.where(s[None, :] < valid, 0.0, MASK_VALUE).astype(jnp.float32)
-        if m.shape[0] == 1 and b > 1:
-            m = jnp.broadcast_to(m, (b, t))
-        mask = m[:, None, None, None, :]
+        from paligemma_tpu.ops.attention import length_mask
+
+        mask = length_mask(valid_len, t, b)
     hidden, _ = gemma.forward(
         params["llm"], cfg.text_config, embeds, positions, cache=None, mask=mask,
         lora=lora, lora_scale=lora_scale, lora_dropout=lora_dropout,
@@ -247,6 +243,13 @@ def forward(
         # the reference's num_items() branch (modeling_gemma.py:506-511);
         # wrap prefill/decode_step directly when calling under jit.
         if int(kv_cache.length) > 0:
+            if input_ids.shape[1] != 1:
+                raise ValueError(
+                    "warm-cache continuation supports one token per step "
+                    f"(got {input_ids.shape[1]}); decode token-by-token like "
+                    "the reference driver (inference.py:75), or prefill the "
+                    "whole prefix into a fresh cache"
+                )
             logits, kv_cache = decode_step(params, cfg, input_ids, kv_cache)
         else:
             logits, kv_cache = prefill(params, cfg, input_ids, pixel_values, kv_cache)

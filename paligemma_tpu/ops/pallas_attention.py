@@ -45,7 +45,7 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, block_k, kv_len):
+def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, block_k):
     """One (batch, head, q-block, k-block) step of online-softmax attention.
 
     Grid: (B, H, num_q_blocks, num_k_blocks); the k-block axis is innermost so
@@ -76,7 +76,9 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, 
     m_prev = m_ref[:]  # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (bq, bk) fp32
+    # Zero masked positions explicitly: when an entire block is masked,
+    # s - m_new == 0 would otherwise make exp() emit 1s (garbage average).
+    p = jnp.where(s > NEG_INF * 0.5, jnp.exp(s - m_new), 0.0)  # (bq, bk) fp32
     alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
 
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
@@ -133,9 +135,7 @@ def flash_attention(
     grid = (b, h, t_pad // block_q, s_pad // block_k)
 
     out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, kv_len=s_pad
-        ),
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

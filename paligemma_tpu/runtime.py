@@ -51,6 +51,12 @@ def enable_compilation_cache(path: str = None) -> None:
     try:
         if jax.config.jax_compilation_cache_dir:  # user already configured it
             return
+        # Pure-CPU sessions (tests, --only_cpu) skip the cache: CPU compiles
+        # are fast, and reloading CPU AOT results across XLA flag variations
+        # spams machine-feature warnings. The win is TPU remote compiles.
+        platforms = jax.config.jax_platforms or ""
+        if platforms == "cpu" and "PALIGEMMA_XLA_CACHE_DIR" not in os.environ:
+            return
         jax.config.update("jax_compilation_cache_dir", path)
     except Exception:  # pragma: no cover - older jax
         pass

@@ -69,9 +69,9 @@ def batched_prefill(params, cfg: PaliGemmaConfig, input_ids, pixel_values, valid
     positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
     positions = jnp.minimum(positions, jnp.maximum(valid[:, None] - 1, 0))
 
-    s = jnp.arange(t)
-    mask = jnp.where(s[None, :] < valid[:, None], 0.0, MASK_VALUE)
-    mask = mask.astype(jnp.float32)[:, None, None, None, :]
+    from paligemma_tpu.ops.attention import length_mask
+
+    mask = length_mask(valid, t, b)
 
     hidden, new_cache = gemma.forward(
         params["llm"], cfg.text_config, embeds, positions, cache=cache, mask=mask
@@ -173,7 +173,12 @@ def batch_generate(
     pix = jnp.asarray(pix_np, cache_dtype)
     key = key if key is not None else jax.random.PRNGKey(0)
 
-    cache = generation.make_cache(cfg, b, t, max_new_tokens, cache_dtype)
+    # Cache is over-allocated to a whole number of chunks so every decode
+    # dispatch is the same compiled n_steps program (one jit shape — remote
+    # compiles cost minutes, CLAUDE.md); surplus tokens are trimmed below.
+    chunk = 16
+    alloc = -(-max(max_new_tokens - 1, 1) // chunk) * chunk + 1
+    cache = generation.make_cache(cfg, b, t, alloc, cache_dtype)
     logits, cache = batched_prefill(params, cfg, ids, pix, valid, cache)
 
     key, sub = jax.random.split(key)
@@ -182,16 +187,25 @@ def batch_generate(
     else:
         tok = greedy(logits)
 
-    all_tokens = [np.asarray(tok)]
-    for _ in range(max_new_tokens - 1):
+    # Decode in compiled multi-step chunks (batched_decode_steps) — zero
+    # per-token host traffic — checking between chunks whether every row has
+    # emitted EOS (stop within one chunk of all-done).
+    columns = [np.asarray(tok)[:, None]]
+    done = columns[0][:, 0] == eos_token_id
+    remaining = max_new_tokens - 1
+    tok = tok[:, None]
+    while remaining > 0 and not bool(np.all(done)):
         key, sub = jax.random.split(key)
-        tok, cache = batched_decode_step(
-            params, cfg, tok[:, None], cache, valid, sub,
-            do_sample, float(temperature), float(top_p), t,
+        toks, tok, cache = batched_decode_steps(
+            params, cfg, tok, cache, valid, sub,
+            chunk, do_sample, float(temperature), float(top_p), t,
         )
-        all_tokens.append(np.asarray(tok))
+        toks_np = np.asarray(toks)  # one host fetch per chunk
+        columns.append(toks_np)
+        done = done | np.any(toks_np == eos_token_id, axis=1)
+        remaining -= chunk
 
-    mat = np.stack(all_tokens, axis=1)  # (B, max_new)
+    mat = np.concatenate(columns, axis=1)[:, :max_new_tokens]
     outs = []
     for i in range(b):
         row = mat[i].tolist()

@@ -73,3 +73,29 @@ def test_batched_eos_truncation(setup):
         eos_token_id=None,  # byte tokenizer eos
     )
     assert len(outs) == 2
+
+
+def test_batched_matches_single_with_pallas_flag(setup):
+    """Regression: the Pallas decode kernel must NOT be used when the caller
+    supplies a custom (non-contiguous) mask — batched serving rows with
+    padding holes stay correct with the flag on."""
+    from paligemma_tpu import runtime
+
+    params, cfg, proc, prompts, images = setup
+    try:
+        runtime.set_pallas_attention(True)
+        batched = serving.batch_generate(
+            params, cfg, proc, prompts[:3], images[:3],
+            max_new_tokens=4, cache_dtype=jnp.float32, eos_token_id=-1,
+        )
+    finally:
+        runtime.set_pallas_attention(False)
+    for i in range(3):
+        out = proc(text=[prompts[i]], images=[images[i]])
+        toks, _ = generation.generate(
+            params, cfg,
+            jnp.asarray(out["input_ids"]), jnp.asarray(out["pixel_values"]),
+            max_new_tokens=4, eos_token_id=-1,
+            cache_dtype=jnp.float32, stop_at_eos=False,
+        )
+        assert batched[i] == proc.tokenizer.decode(toks, skip_special_tokens=True)
