@@ -170,7 +170,7 @@ def generate(
     return out, cache
 
 
-def generate_chunked(
+def generate_chunked_stream(
     params,
     cfg: PaliGemmaConfig,
     input_ids: jnp.ndarray,
@@ -183,11 +183,11 @@ def generate_chunked(
     key: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
     chunk: int = 16,
-) -> list:
-    """Chunked generation: decode in compiled ``chunk``-step programs with a
-    host EOS check between chunks. ~chunk x fewer host round-trips than
-    ``generate`` (decisive on remote-dispatch backends), still stops within
-    one chunk of EOS; output trimmed at EOS exactly like ``generate``.
+):
+    """Streaming chunked generation: yields lists of new token ids per
+    compiled ``chunk``-step program (the streaming granularity on a
+    remote-dispatch backend). Stops within one chunk of EOS; the final yield
+    is trimmed at EOS / max_new_tokens.
     """
     b, t = input_ids.shape
     if b != 1:
@@ -205,23 +205,49 @@ def generate_chunked(
         tok = sample_top_p(logits[:, -1, :], sub, temperature, top_p)
     else:
         tok = greedy(logits[:, -1, :])
-    out = [int(tok[0])]
-    if out[-1] == eos_token_id:
-        return out
+    first = int(tok[0])
+    yield [first]
+    if first == eos_token_id:
+        return
 
-    remaining = max_new_tokens - 1
+    produced = 1
     tok = tok[:, None]
-    while remaining > 0:
+    while produced < max_new_tokens:
         key, sub = jax.random.split(key)
         toks, tok, cache = decode_steps(
             params, cfg, tok, cache, sub, chunk, do_sample, temperature, top_p
         )
-        out.extend(toks[0].tolist())
-        remaining -= chunk
-        capped = out[:max_new_tokens]  # overshoot past max_new doesn't count
-        if eos_token_id in capped:
-            return capped[: capped.index(eos_token_id) + 1]
-    return out[:max_new_tokens]
+        new = toks[0].tolist()
+        # Trim overshoot past max_new, then at EOS.
+        new = new[: max_new_tokens - produced]
+        if eos_token_id in new:
+            yield new[: new.index(eos_token_id) + 1]
+            return
+        produced += len(new)
+        yield new
+
+
+def generate_chunked(
+    params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    max_new_tokens: int,
+    eos_token_id: int,
+    **kwargs,
+) -> list:
+    """Chunked generation: decode in compiled chunk-step programs with a host
+    EOS check between chunks. ~chunk x fewer host round-trips than
+    ``generate`` (decisive on remote-dispatch backends); output trimmed at
+    EOS exactly like ``generate``.
+    """
+    out: list = []
+    for piece in generate_chunked_stream(
+        params, cfg, input_ids, pixel_values, max_new_tokens, eos_token_id,
+        **kwargs,
+    ):
+        out.extend(piece)
+    return out
 
 
 @functools.partial(
