@@ -188,6 +188,54 @@ class Batcher:
                 slot["event"].set()
 
 
+# Self-contained browser UI (the reference ships a Streamlit app, app.py;
+# this needs no extra dependency — upload an image, stream the answer).
+INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>PaliGemma Analyzer (TPU)</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:640px;margin:2rem auto;padding:0 1rem}
+ textarea,input,button{font:inherit;width:100%;box-sizing:border-box;margin:.25rem 0}
+ #out{white-space:pre-wrap;border:1px solid #ccc;border-radius:6px;padding:.75rem;
+      min-height:4rem;background:#fafafa}
+ img{max-width:200px;display:block;margin:.5rem 0}
+ .row{display:flex;gap:.5rem}.row>*{flex:1}
+</style></head><body>
+<h2>PaliGemma Analyzer (TPU)</h2>
+<input type="file" id="img" accept="image/*">
+<img id="preview" hidden>
+<textarea id="prompt" rows="2">Describe the image</textarea>
+<div class="row">
+ <label>max tokens <input id="maxtok" type="number" value="100"></label>
+ <label>temperature <input id="temp" type="number" step="0.1" value="0.8"></label>
+ <label>top-p <input id="topp" type="number" step="0.05" value="0.9"></label>
+ <label>sample <input id="sample" type="checkbox" style="width:auto"></label>
+</div>
+<button id="go">Analyze</button>
+<h3>PaliGemma Insight</h3><div id="out"></div>
+<script>
+let b64=null;
+img.onchange=()=>{const f=img.files[0];const r=new FileReader();
+ r.onload=()=>{b64=r.result.split(',')[1];preview.src=r.result;preview.hidden=false};
+ r.readAsDataURL(f);};
+go.onclick=async()=>{
+ if(!b64){out.textContent='upload an image first';return}
+ out.textContent='';go.disabled=true;
+ const body=JSON.stringify({prompt:prompt.value,image_b64:b64,
+   max_tokens:+maxtok.value,temperature:+temp.value,top_p:+topp.value,
+   do_sample:sample.checked});
+ const resp=await fetch('/generate_stream',{method:'POST',body,
+   headers:{'Content-Type':'application/json'}});
+ if(!resp.ok){out.textContent='error: '+await resp.text();go.disabled=false;return}
+ const reader=resp.body.getReader();const dec=new TextDecoder();let buf='';
+ for(;;){const {done,value}=await reader.read();if(done)break;
+  buf+=dec.decode(value,{stream:true});
+  let i;while((i=buf.indexOf('\\n\\n'))>=0){const line=buf.slice(0,i);buf=buf.slice(i+2);
+   if(line.startsWith('data: ')){const ev=JSON.parse(line.slice(6));
+    if(ev.text_delta)out.textContent+=ev.text_delta;}}}
+ go.disabled=false;};
+</script></body></html>"""
+
+
 def make_handler(engine: Engine, batcher=None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload):
@@ -207,6 +255,13 @@ def make_handler(engine: Engine, batcher=None):
                     "model": engine.model_name,
                     "device": str(jax.devices()[0]),
                 })
+            elif self.path in ("/", "/index.html"):
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
