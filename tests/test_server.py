@@ -1,0 +1,109 @@
+"""HTTP server integration: health, generate, streaming, batching, errors."""
+import base64
+import io
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _b64img(seed=0):
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.RandomState(seed).randint(0, 255, (32, 40, 3), np.uint8)
+    ).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture(scope="module")
+def server():
+    port = 8941
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "server.py", "--demo", "--only_cpu",
+         "--port", str(port), "--batch_window_ms", "300"],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(base + "/healthz", timeout=5)
+            break
+        except (urllib.error.URLError, socket.timeout, ConnectionError):
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stderr.read().decode()[-2000:])
+            time.sleep(2)
+    else:
+        proc.kill()
+        raise TimeoutError("server did not come up")
+    yield base
+    proc.kill()
+
+
+def _post(base, path, body, timeout=180):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_healthz_and_index(server):
+    health = json.loads(urllib.request.urlopen(server + "/healthz").read())
+    assert health["status"] == "ok"
+    page = urllib.request.urlopen(server + "/").read().decode()
+    assert "PaliGemma Analyzer" in page and "/generate_stream" in page
+
+
+def test_generate_batched(server):
+    results = [None, None]
+
+    def worker(i):
+        r = _post(server, "/generate",
+                  {"prompt": f"q{i}", "image_b64": _b64img(i), "max_tokens": 4})
+        results[i] = json.loads(r.read())
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    for i, r in enumerate(results):
+        assert r["text"].startswith(f"q{i}")
+        assert r["batched_with"] >= 1
+
+
+def test_generate_stream(server):
+    r = _post(server, "/generate_stream",
+              {"prompt": "s", "image_b64": _b64img(5), "max_tokens": 20})
+    assert r.headers["Content-Type"].startswith("text/event-stream")
+    events = []
+    for line in r:
+        line = line.decode().strip()
+        if line.startswith("data: "):
+            events.append(json.loads(line[6:]))
+    assert events[-1] == {"done": True, "num_tokens": 20}
+    assert sum(len(e.get("tokens", [])) for e in events[:-1]) == 20
+
+
+def test_bad_requests(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/generate", {"prompt": "no image"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/nope", {})
+    assert e.value.code == 404
