@@ -84,12 +84,21 @@ def main(argv=None):
         image_size = cfg.vision_config.image_size
         num_image_tokens = cfg.vision_config.num_image_tokens
     else:
+        from paligemma_tpu.processing import PaliGemmaProcessor
         from paligemma_tpu.utils.checkpoint import load_model
         from transformers import AutoTokenizer
 
         params, cfg = load_model(args.model_path, dtype=jnp.bfloat16)
         tokenizer = AutoTokenizer.from_pretrained(
             args.model_path, padding_side="right"
+        )
+        # The processor registers <image>/<loc>/<seg> tokens and disables the
+        # tokenizer's auto-BOS (reference: processing_paligemma.py:63-75).
+        # Without this, a leading BOS shifts the fixed image-token prefix and
+        # every training step runs on misaligned inputs.
+        PaliGemmaProcessor(
+            tokenizer, cfg.vision_config.num_image_tokens,
+            cfg.vision_config.image_size,
         )
         image_size = args.image_size
         num_image_tokens = cfg.vision_config.num_image_tokens

@@ -106,6 +106,16 @@ class FinancialImageDataset:
     ):
         import pandas as pd
 
+        if max_length <= num_image_tokens + 2:
+            # The templated sequence starts with num_image_tokens <image>
+            # slots + BOS; truncating into (or below) that prefix would train
+            # on misaligned inputs with zero or crashing loss. At 3B-224,
+            # num_image_tokens=256 — max_length must leave room for text.
+            raise ValueError(
+                f"max_length={max_length} must exceed num_image_tokens+2="
+                f"{num_image_tokens + 2}; the image prefix would swallow the "
+                "whole sequence"
+            )
         self.df = pd.read_parquet(parquet_file)
         if max_samples is not None:
             self.df = self.df.head(max_samples)

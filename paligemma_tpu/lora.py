@@ -333,6 +333,7 @@ def train(
     losses = []
     step = 0
     start_step = 0
+    consecutive_failures = 0
     if resume and os.path.exists(os.path.join(output_dir, "train_state")):
         lora, opt_state, start_step = load_train_state(output_dir, lora, opt_state)
         logger(f"resumed from step {start_step}")
@@ -349,9 +350,16 @@ def train(
             try:
                 loss, lora, opt_state = step_fn(params, lora, opt_state, batch, sub)
             except Exception as e:  # OOM-recovery analog (reference §2.9)
+                consecutive_failures += 1
                 logger(f"step {step}: error {e!r}; clearing caches and skipping")
                 jax.clear_caches()
+                if consecutive_failures >= 3:
+                    # Persistent failures (shape/dtype/data bugs) are not
+                    # transient OOM — surface them instead of "completing"
+                    # a run that trained nothing.
+                    raise
                 continue
+            consecutive_failures = 0
             losses.append(float(loss))
             step += 1
             if log_every and step % log_every == 0:

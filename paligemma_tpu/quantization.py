@@ -56,10 +56,6 @@ def qproj(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     return (y * qt.scale.reshape(1, 1, -1)).astype(x.dtype)
 
 
-def _quant_leaf(w, axis):
-    return quantize_tensor(w, axis)
-
-
 def quantize_params(params: Dict[str, Any], llm_only: bool = True) -> Dict[str, Any]:
     """Quantize the large kernels of a PaliGemma param pytree
     (returns a new tree; small tensors — norms, biases, position embeddings —

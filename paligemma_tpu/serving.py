@@ -33,11 +33,21 @@ from paligemma_tpu.ops.sampling import greedy, sample_top_p
 
 
 def pad_batch(
-    processor, prompts: List[str], images: List
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-sample processing + right-padding to the longest prompt.
+    processor,
+    prompts: List[str],
+    images: List,
+    prompt_bucket: Optional[int] = None,
+    batch_bucket: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Per-sample processing + right-padding.
 
-    Returns (input_ids (B, T), valid_len (B,), pixel_values (B, C, H, W)).
+    Default pads to the longest prompt. ``prompt_bucket`` rounds the padded
+    length up to a multiple (and ``batch_bucket`` rounds the batch size up by
+    repeating the first sample) so serving traffic reuses a small set of
+    compiled shapes — one jit shape costs minutes to compile on the
+    remote-compile backend (CLAUDE.md).
+
+    Returns (input_ids (B', T), valid_len (B',), pixel_values, real_batch).
     """
     assert len(prompts) == len(images)
     ids_list, pix_list = [], []
@@ -45,14 +55,21 @@ def pad_batch(
         out = processor(text=[prompt], images=[image])
         ids_list.append(np.asarray(out["input_ids"][0], np.int32))
         pix_list.append(out["pixel_values"][0])
+    real_b = len(ids_list)
+    if batch_bucket:
+        while len(ids_list) % batch_bucket:
+            ids_list.append(ids_list[0])
+            pix_list.append(pix_list[0])
     max_len = max(len(x) for x in ids_list)
+    if prompt_bucket:
+        max_len = -(-max_len // prompt_bucket) * prompt_bucket
     b = len(ids_list)
     ids = np.zeros((b, max_len), np.int32)
     valid = np.zeros((b,), np.int32)
     for i, row in enumerate(ids_list):
         ids[i, : len(row)] = row
         valid[i] = len(row)
-    return ids, valid, np.stack(pix_list, axis=0)
+    return ids, valid, np.stack(pix_list, axis=0), real_b
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -162,11 +179,20 @@ def batch_generate(
     eos_token_id: Optional[int] = None,
     key: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
-) -> List[str]:
-    """End-to-end batched VQA: prompts + images -> decoded strings."""
+    prompt_bucket: Optional[int] = None,
+    batch_bucket: Optional[int] = None,
+    return_tokens: bool = False,
+):
+    """End-to-end batched VQA: prompts + images -> decoded strings.
+
+    ``return_tokens=True`` returns (texts, token_id_lists) instead. See
+    ``pad_batch`` for the shape-bucketing knobs.
+    """
     if eos_token_id is None:
         eos_token_id = processor.tokenizer.eos_token_id
-    ids_np, valid_np, pix_np = pad_batch(processor, prompts, images)
+    ids_np, valid_np, pix_np, real_b = pad_batch(
+        processor, prompts, images, prompt_bucket, batch_bucket
+    )
     b, t = ids_np.shape
     ids = jnp.asarray(ids_np)
     valid = jnp.asarray(valid_np)
@@ -206,10 +232,13 @@ def batch_generate(
         remaining -= chunk
 
     mat = np.concatenate(columns, axis=1)[:, :max_new_tokens]
-    outs = []
-    for i in range(b):
+    outs, token_rows = [], []
+    for i in range(real_b):
         row = mat[i].tolist()
         if eos_token_id in row:
             row = row[: row.index(eos_token_id) + 1]
+        token_rows.append(row)
         outs.append(processor.tokenizer.decode(row, skip_special_tokens=True))
+    if return_tokens:
+        return outs, token_rows
     return outs

@@ -76,7 +76,13 @@ class Engine:
         return dtype
 
     def generate_stream(self, prompt, image, max_tokens, temperature, top_p, do_sample):
-        """Yields (new_tokens, text_delta) per compiled decode chunk."""
+        """Yields (new_tokens, text_delta) per compiled decode chunk.
+
+        Generation runs in a worker thread that holds the engine lock only
+        while computing; chunks flow through an unbounded queue. A slow or
+        stalled SSE client therefore cannot hold the lock and starve every
+        other request (it only delays its own connection).
+        """
         import jax.numpy as jnp
 
         from paligemma_tpu import generation
@@ -85,24 +91,41 @@ class Engine:
         ids = jnp.asarray(inputs["input_ids"])
         dtype = self._act_dtype()
         pix = jnp.asarray(inputs["pixel_values"], dtype)
-        with self.lock:
-            seen: list = []
-            prev_text = ""
-            for piece in generation.generate_chunked_stream(
-                self.params, self.cfg, ids, pix,
-                max_new_tokens=max_tokens,
-                eos_token_id=self.processor.tokenizer.eos_token_id,
-                do_sample=do_sample, temperature=temperature, top_p=top_p,
-                cache_dtype=dtype,
-            ):
-                seen.extend(piece)
-                # Re-decode the prefix each time: byte-level/UTF-8 tokenizers
-                # can only produce stable text at whole-sequence granularity.
-                text = self.processor.tokenizer.decode(
-                    seen, skip_special_tokens=True
-                )
-                yield piece, text[len(prev_text):]
-                prev_text = text
+
+        chunks: "queue.Queue" = queue.Queue()
+        SENTINEL = object()
+
+        def worker():
+            try:
+                with self.lock:
+                    for piece in generation.generate_chunked_stream(
+                        self.params, self.cfg, ids, pix,
+                        max_new_tokens=max_tokens,
+                        eos_token_id=self.processor.tokenizer.eos_token_id,
+                        do_sample=do_sample, temperature=temperature,
+                        top_p=top_p, cache_dtype=dtype,
+                    ):
+                        chunks.put(piece)
+                chunks.put(SENTINEL)
+            except Exception as e:  # surfaced to the consumer
+                chunks.put(e)
+
+        threading.Thread(target=worker, daemon=True).start()
+
+        seen: list = []
+        prev_text = ""
+        while True:
+            piece = chunks.get()
+            if piece is SENTINEL:
+                return
+            if isinstance(piece, Exception):
+                raise piece
+            seen.extend(piece)
+            # Re-decode the prefix each time: byte-level/UTF-8 tokenizers
+            # can only produce stable text at whole-sequence granularity.
+            text = self.processor.tokenizer.decode(seen, skip_special_tokens=True)
+            yield piece, text[len(prev_text):]
+            prev_text = text
 
 
 class Batcher:
@@ -159,6 +182,9 @@ class Batcher:
             pending = [s for s in pending if self._key(s["request"]) != head_key]
             self._run(group)
 
+    PROMPT_BUCKET = 64  # pad shapes to buckets: one compile per bucket combo
+    BATCH_BUCKET = 4
+
     def _run(self, group):
         from paligemma_tpu import serving
 
@@ -166,7 +192,7 @@ class Batcher:
             reqs = [s["request"] for s in group]
             r0 = reqs[0]
             with self.engine.lock:
-                texts = serving.batch_generate(
+                texts, token_rows = serving.batch_generate(
                     self.engine.params, self.engine.cfg, self.engine.processor,
                     [r["prompt"] for r in reqs],
                     [r["image"] for r in reqs],
@@ -175,10 +201,15 @@ class Batcher:
                     temperature=r0["temperature"],
                     top_p=r0["top_p"],
                     cache_dtype=self.engine._act_dtype(),
+                    prompt_bucket=self.PROMPT_BUCKET,
+                    batch_bucket=min(self.BATCH_BUCKET, self.max_batch),
+                    return_tokens=True,
                 )
-            for slot, req, text in zip(group, reqs, texts):
+            for slot, req, text, toks in zip(group, reqs, texts, token_rows):
                 slot["result"] = {
                     "text": req["prompt"] + text,
+                    "tokens": toks,
+                    "num_tokens": len(toks),
                     "batched_with": len(group),
                 }
                 slot["event"].set()
@@ -272,22 +303,23 @@ def make_handler(engine: Engine, batcher=None):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
                 prompt = req["prompt"]
+                if not isinstance(prompt, str):
+                    raise ValueError("prompt must be a string")
+                params = dict(
+                    max_tokens=int(req.get("max_tokens", 100)),
+                    temperature=float(req.get("temperature", 0.8)),
+                    top_p=float(req.get("top_p", 0.9)),
+                    do_sample=bool(req.get("do_sample", False)),
+                )
                 from PIL import Image
 
                 image = Image.open(
                     io.BytesIO(base64.b64decode(req["image_b64"]))
                 ).convert("RGB")
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 return self._send(400, {"error": f"bad request: {e!r}"})
             except Exception as e:
                 return self._send(400, {"error": f"bad image: {e!r}"})
-
-            params = dict(
-                max_tokens=int(req.get("max_tokens", 100)),
-                temperature=float(req.get("temperature", 0.8)),
-                top_p=float(req.get("top_p", 0.9)),
-                do_sample=bool(req.get("do_sample", False)),
-            )
 
             if self.path == "/generate_stream":
                 return self._stream(prompt, image, params)
@@ -380,6 +412,22 @@ def main(argv=None):
         if args.batch_window_ms > 0
         else None
     )
+    if batcher is not None:
+        # Warm the batched shapes too (bucketed prompt length + batch size)
+        # so the first coalesced group doesn't stall on a multi-minute
+        # remote compile.
+        try:
+            from PIL import Image
+
+            size = engine.cfg.vision_config.image_size
+            batcher.submit({
+                "prompt": "warmup", "image": Image.new("RGB", (size, size)),
+                "max_tokens": 8, "temperature": 0.8, "top_p": 0.9,
+                "do_sample": False,
+            })
+            print("batched warm-up complete", file=sys.stderr, flush=True)
+        except Exception as e:  # pragma: no cover
+            print(f"batched warm-up failed: {e!r}", file=sys.stderr, flush=True)
     server = ThreadingHTTPServer(
         ("127.0.0.1", args.port), make_handler(engine, batcher)
     )

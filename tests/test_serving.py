@@ -36,7 +36,8 @@ def setup():
 
 def test_pad_batch_shapes(setup):
     params, cfg, proc, prompts, images = setup
-    ids, valid, pix = serving.pad_batch(proc, prompts, images)
+    ids, valid, pix, real_b = serving.pad_batch(proc, prompts, images)
+    assert real_b == 8
     assert ids.shape[0] == 8 and pix.shape == (8, 3, 32, 32)
     assert valid.max() == ids.shape[1]
     # rows are right-padded with zeros
