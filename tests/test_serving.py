@@ -100,3 +100,25 @@ def test_batched_matches_single_with_pallas_flag(setup):
             cache_dtype=jnp.float32, stop_at_eos=False,
         )
         assert batched[i] == proc.tokenizer.decode(toks, skip_special_tokens=True)
+
+
+def test_bucketing_does_not_change_outputs(setup):
+    """prompt_bucket/batch_bucket padding (the server's shape hygiene) must
+    not change any row's tokens."""
+    params, cfg, proc, prompts, images = setup
+    plain = serving.batch_generate(
+        params, cfg, proc, prompts[:3], images[:3],
+        max_new_tokens=5, cache_dtype=jnp.float32, eos_token_id=-1,
+    )
+    bucketed = serving.batch_generate(
+        params, cfg, proc, prompts[:3], images[:3],
+        max_new_tokens=5, cache_dtype=jnp.float32, eos_token_id=-1,
+        prompt_bucket=64, batch_bucket=4,
+    )
+    assert plain == bucketed
+    texts, tokens = serving.batch_generate(
+        params, cfg, proc, prompts[:3], images[:3],
+        max_new_tokens=5, cache_dtype=jnp.float32, eos_token_id=-1,
+        prompt_bucket=64, batch_bucket=4, return_tokens=True,
+    )
+    assert texts == plain and len(tokens) == 3 and all(len(t) == 5 for t in tokens)
