@@ -28,11 +28,19 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB]
+    # Compile to a process-unique temp path and rename atomically: concurrent
+    # builders must never dlopen a half-written .so.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -92,9 +100,16 @@ def preprocess_images_native(
     if imgs.ndim == 3:
         imgs = imgs[None]
     n, h, w, c = imgs.shape
-    out = np.empty((n, c, out_size, out_size), np.float32)
     mean_arr = np.asarray(mean, np.float32)
     std_arr = np.asarray(std, np.float32)
+    if c != len(mean_arr) or c != len(std_arr):
+        # The C kernel indexes mean/std per channel; a mismatch would read
+        # past the buffers (RGBA input with 3-element stats, etc.).
+        raise ValueError(
+            f"images have {c} channels but mean/std have "
+            f"{len(mean_arr)}/{len(std_arr)} entries; convert to RGB first"
+        )
+    out = np.empty((n, c, out_size, out_size), np.float32)
     rc = lib.preproc_batch(
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n, h, w, c,

@@ -109,8 +109,24 @@ def make_sharded_train_step(
         "labels": batch_s,
         "valid_len": batch_s,
     }
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(pshard, lshard, None, batch_shardings, rep),
         out_shardings=(rep, lshard, None),
     )
+
+    def step_normalized(params, lora, opt_state, batch, key):
+        # valid_len is optional in the single-chip API (loss_fn defaults to
+        # no padding); fill it here so the jitted in_shardings pytree always
+        # matches instead of raising a cryptic structure mismatch.
+        if "valid_len" not in batch:
+            import jax.numpy as jnp
+
+            t = batch["input_ids"].shape[1]
+            batch = dict(batch)
+            batch["valid_len"] = jnp.full(
+                (batch["input_ids"].shape[0],), t, jnp.int32
+            )
+        return jitted(params, lora, opt_state, batch, key)
+
+    return step_normalized

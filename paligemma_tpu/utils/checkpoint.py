@@ -32,16 +32,6 @@ import numpy as np
 from paligemma_tpu.config import PaliGemmaConfig
 
 
-def _to_numpy(t) -> np.ndarray:
-    """torch tensor (possibly bf16) or ndarray -> numpy, preserving values."""
-    if isinstance(t, np.ndarray):
-        return t
-    # torch tensor
-    if t.dtype.__str__() == "torch.bfloat16":
-        return t.float().numpy()
-    return t.numpy()
-
-
 def load_safetensors_shards(model_path: str) -> Dict[str, np.ndarray]:
     """Read all *.safetensors shards into one flat dict of numpy arrays."""
     from safetensors import safe_open

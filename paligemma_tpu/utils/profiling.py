@@ -36,7 +36,15 @@ def fence(x: Any) -> None:
 
 
 def timed(fn: Callable[[], Any]) -> Tuple[Any, float]:
-    """Run fn() with fences on both sides; returns (result, seconds)."""
+    """Run fn() with fences on both sides; returns (result, seconds).
+
+    The pre-fence drains previously enqueued device work (PJRT executes in
+    submission order) so fn's measurement doesn't absorb an earlier async
+    tail; the post-fence forces completion of fn's own work.
+    """
+    import jax.numpy as jnp
+
+    fence(jnp.zeros(()) + 0)  # drain the device stream
     t0 = time.perf_counter()
     out = fn()
     fence(out)
