@@ -88,21 +88,29 @@ def init_lora(
 def merge_lora(params: Params, lora: Params, lcfg: LoraConfig) -> Params:
     """Fold adapters into the base kernels: W' = W + scale * A @ B.
 
-    Returns a new params pytree usable by every inference path unchanged.
+    The base q/k/v projections live in one fused ``qkv`` kernel (concatenated
+    along the output dim — models/gemma.py); each adapter's delta is added to
+    its slice. Returns a new params pytree usable by every inference path
+    unchanged.
     """
     new_layers = dict(params["llm"]["layers"])
+    base = new_layers["qkv"]
+    if not hasattr(base, "dtype") or isinstance(base, tuple):  # QTensor etc.
+        raise TypeError(
+            "merge_lora requires unquantized base kernels; merge into the "
+            "bf16/fp32 params first, then quantize_params() the result"
+        )
+    merged = base.astype(jnp.float32)
+    offset = 0
     for name in ("q", "k", "v"):
-        base_kernel = new_layers[name]
-        if not hasattr(base_kernel, "dtype"):  # QTensor etc.
-            raise TypeError(
-                "merge_lora requires unquantized base kernels; merge into the "
-                "bf16/fp32 params first, then quantize_params() the result"
-            )
         ad = lora["layers"][name]
+        out_dim = ad["b"].shape[-1]
         delta = jnp.einsum("ldr,lre->lde", ad["a"].astype(jnp.float32),
                            ad["b"].astype(jnp.float32)) * lcfg.scale
-        base = new_layers[name]
-        new_layers[name] = (base.astype(jnp.float32) + delta).astype(base.dtype)
+        merged = merged.at[:, :, offset : offset + out_dim].add(delta)
+        offset += out_dim
+    assert offset == base.shape[-1], (offset, base.shape)
+    new_layers["qkv"] = merged.astype(base.dtype)
     new_llm = dict(params["llm"])
     new_llm["layers"] = new_layers
     out = dict(params)

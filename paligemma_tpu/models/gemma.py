@@ -25,10 +25,18 @@ Parameter tree:
   embed: (V, D)   (tied lm_head — logits = h @ embed.T, no separate weight)
   layers (stacked, leading axis L):
     input_ln: (L, D)
-    q: (L, D, H*hd)   k: (L, D, Hkv*hd)   v: (L, D, Hkv*hd)   o: (L, H*hd, D)
+    qkv: (L, D, (H+2*Hkv)*hd)  — fused [q | k | v] projection, one GEMM/stream
+    o: (L, H*hd, D)
     post_ln: (L, D)
-    gate: (L, D, I)   up: (L, D, I)   down: (L, I, D)
+    gate_up: (L, D, 2*I)       — fused [gate | up] projection
+    down: (L, I, D)
   final_norm: (D,)
+
+The q/k/v and gate/up projections are stored fused (concatenated along the
+output dim) so each decode step streams 4 kernels per layer instead of 7 —
+the reference keeps 7 separate nn.Linear weights (modeling_gemma.py:220-222,
+127-130). Fusion is bitwise-neutral: each output element is the same dot
+product either way, so logits are identical to the unfused layout.
 """
 from __future__ import annotations
 
@@ -86,7 +94,7 @@ def init_cache(
 def init_params(cfg: GemmaConfig, key: jax.Array, dtype: jnp.dtype = jnp.float32) -> Params:
     d, i, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
     h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 5)
 
     def dense(k, shape, fan_in):
         return (jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
@@ -95,14 +103,11 @@ def init_params(cfg: GemmaConfig, key: jax.Array, dtype: jnp.dtype = jnp.float32
         "embed": dense(keys[0], (cfg.vocab_size, d), d),
         "layers": {
             "input_ln": jnp.zeros((l, d), dtype),
-            "q": dense(keys[1], (l, d, h * hd), d),
-            "k": dense(keys[2], (l, d, hkv * hd), d),
-            "v": dense(keys[3], (l, d, hkv * hd), d),
-            "o": dense(keys[4], (l, h * hd, d), h * hd),
+            "qkv": dense(keys[1], (l, d, (h + 2 * hkv) * hd), d),
+            "o": dense(keys[2], (l, h * hd, d), h * hd),
             "post_ln": jnp.zeros((l, d), dtype),
-            "gate": dense(keys[5], (l, d, i), d),
-            "up": dense(keys[6], (l, d, i), d),
-            "down": dense(keys[7], (l, i, d), i),
+            "gate_up": dense(keys[3], (l, d, 2 * i), d),
+            "down": dense(keys[4], (l, i, d), i),
         },
         "final_norm": jnp.zeros((d,), dtype),
     }
@@ -170,10 +175,12 @@ def _attention(
     """
     b, t, _ = x.shape
     h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q_out, kv_out = h * hd, hkv * hd
 
-    q = _proj(x, lp["q"])
-    k = _proj(x, lp["k"])
-    v = _proj(x, lp["v"])
+    qkv = _proj(x, lp["qkv"])  # one fused GEMM: [q | k | v] along the out dim
+    q = qkv[..., :q_out]
+    k = qkv[..., q_out : q_out + kv_out]
+    v = qkv[..., q_out + kv_out :]
     if lora is not None:
         # Independent dropout masks per adapted module, like peft's LoraLayer.
         kq = kk = kv = None
@@ -232,9 +239,12 @@ def _attention(
 
 
 def _mlp(cfg: GemmaConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """GeGLU: down(gelu_tanh(gate(x)) * up(x)) (reference: modeling_gemma.py:122-134)."""
-    gate = _proj(x, lp["gate"])
-    up = _proj(x, lp["up"])
+    """GeGLU: down(gelu_tanh(gate(x)) * up(x)) (reference: modeling_gemma.py:122-134).
+
+    gate and up are computed with one fused [gate | up] GEMM."""
+    gu = _proj(x, lp["gate_up"])
+    gate = gu[..., : cfg.intermediate_size]
+    up = gu[..., cfg.intermediate_size :]
     act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(x.dtype)
     return _proj(act * up, lp["down"])
 

@@ -42,7 +42,6 @@ def param_shardings(cfg: PaliGemmaConfig, mesh: Mesh) -> Dict[str, Any]:
     row = _ns(mesh, None, MODEL_AXIS, None)  # (L, in, out): shard in
 
     kv_out = tc.num_key_value_heads * tc.head_dim
-    kv_spec = col if _div(kv_out, mesh) else rep
 
     vision = {
         "patch_embedding": {"kernel": rep, "bias": rep},
@@ -71,17 +70,19 @@ def param_shardings(cfg: PaliGemmaConfig, mesh: Mesh) -> Dict[str, Any]:
     }
 
     q_out = tc.num_attention_heads * tc.head_dim
+    # qkv / gate_up are stored fused along the output dim; column sharding
+    # splits that fused dim. When a shard straddles a q/k/v (or gate/up)
+    # boundary, GSPMD reshards around the post-matmul static slices — correct
+    # by construction, and cheap at decode shapes (B, 1, .).
+    qkv_out = q_out + 2 * kv_out
     llm = {
         "embed": _ns(mesh, MODEL_AXIS, None) if _div(tc.vocab_size, mesh) else rep,
         "layers": {
             "input_ln": rep,
-            "q": col if _div(q_out, mesh) else rep,
-            "k": kv_spec,
-            "v": kv_spec,
+            "qkv": col if _div(qkv_out, mesh) else rep,
             "o": row if _div(q_out, mesh) else rep,
             "post_ln": rep,
-            "gate": col if _div(tc.intermediate_size, mesh) else rep,
-            "up": col if _div(tc.intermediate_size, mesh) else rep,
+            "gate_up": col if _div(2 * tc.intermediate_size, mesh) else rep,
             "down": row if _div(tc.intermediate_size, mesh) else rep,
         },
         "final_norm": rep,

@@ -72,7 +72,7 @@ def quantize_params(params: Dict[str, Any], llm_only: bool = True) -> Dict[str, 
     # --- decoder ---
     llm = dict(out["llm"])
     layers = dict(llm["layers"])
-    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+    for name in ("qkv", "o", "gate_up", "down"):
         layers[name] = quantize_tensor(layers[name], axis=1)  # (L, in, out): reduce in
     llm["layers"] = layers
     emb = llm["embed"]

@@ -155,19 +155,33 @@ def hf_to_params(
     }
 
     lp = "language_model.model"
+    # q/k/v and gate/up are fused on load: concatenated along the output dim
+    # into single (L, D, .) kernels so decode streams one weight per GEMM
+    # (bitwise-identical math — see models/gemma.py module docstring).
+    qkv = np.concatenate(
+        [
+            _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.{n}_proj.weight", tl)
+            for n in ("q", "k", "v")
+        ],
+        axis=2,
+    )
+    gate_up = np.concatenate(
+        [
+            _stack_linear(flat, f"{lp}.layers.{{i}}.mlp.{n}_proj.weight", tl)
+            for n in ("gate", "up")
+        ],
+        axis=2,
+    )
     llm = {
         "embed": flat[f"{lp}.embed_tokens.weight"],
         "layers": {
             "input_ln": _stack(flat, f"{lp}.layers.{{i}}.input_layernorm.weight", tl),
-            "q": _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.q_proj.weight", tl),
-            "k": _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.k_proj.weight", tl),
-            "v": _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.v_proj.weight", tl),
+            "qkv": qkv,
             "o": _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.o_proj.weight", tl),
             "post_ln": _stack(
                 flat, f"{lp}.layers.{{i}}.post_attention_layernorm.weight", tl
             ),
-            "gate": _stack_linear(flat, f"{lp}.layers.{{i}}.mlp.gate_proj.weight", tl),
-            "up": _stack_linear(flat, f"{lp}.layers.{{i}}.mlp.up_proj.weight", tl),
+            "gate_up": gate_up,
             "down": _stack_linear(flat, f"{lp}.layers.{{i}}.mlp.down_proj.weight", tl),
         },
         "final_norm": flat[f"{lp}.norm.weight"],
@@ -221,6 +235,12 @@ def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
         key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
         if isinstance(v, dict):
             flat.update(_flatten(v, key))
+        elif isinstance(v, tuple):  # QTensor and friends
+            raise TypeError(
+                f"save_params cannot serialize non-array leaf at '{key}' "
+                f"({type(v).__name__}): save the unquantized params tree and "
+                "re-quantize after load (quantize_params is deterministic)"
+            )
         else:
             flat[key] = np.asarray(v)
     return flat

@@ -48,9 +48,15 @@ def reference_decode_concat(params, cfg, embeds_list, positions_list):
                 tcfg.num_key_value_heads,
                 tcfg.head_dim,
             )
-            q = (x @ layer["q"]).reshape(b, t, nh, hd)
-            k = (x @ layer["k"]).reshape(b, t, hkv, hd)
-            v = (x @ layer["v"]).reshape(b, t, hkv, hd)
+            # Oracle deliberately uses SEPARATE matmuls over slices of the
+            # fused qkv kernel — proving the production fused GEMM + split
+            # matches the unfused formulation.
+            wq = layer["qkv"][:, : nh * hd]
+            wk = layer["qkv"][:, nh * hd : (nh + hkv) * hd]
+            wv = layer["qkv"][:, (nh + hkv) * hd :]
+            q = (x @ wq).reshape(b, t, nh, hd)
+            k = (x @ wk).reshape(b, t, hkv, hd)
+            v = (x @ wv).reshape(b, t, hkv, hd)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             if caches[i]["k"] is None:
@@ -64,8 +70,11 @@ def reference_decode_concat(params, cfg, embeds_list, positions_list):
             h = residual + attn.reshape(b, t, nh * hd) @ layer["o"]
             residual = h
             x = rms_norm(h, layer["post_ln"], tcfg.rms_norm_eps)
-            act = jax.nn.gelu((x @ layer["gate"]).astype(jnp.float32), approximate=True)
-            h = residual + (act.astype(x.dtype) * (x @ layer["up"])) @ layer["down"]
+            inter = layer["gate_up"].shape[-1] // 2
+            wgate = layer["gate_up"][:, :inter]
+            wup = layer["gate_up"][:, inter:]
+            act = jax.nn.gelu((x @ wgate).astype(jnp.float32), approximate=True)
+            h = residual + (act.astype(x.dtype) * (x @ wup)) @ layer["down"]
         h_out = rms_norm(h, params["llm"]["final_norm"], tcfg.rms_norm_eps)
     return h_out
 
