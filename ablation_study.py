@@ -364,13 +364,9 @@ def build_model(args):
     processor = PaliGemmaProcessor(
         tokenizer, cfg.vision_config.num_image_tokens, cfg.vision_config.image_size
     )
-    cfg = dataclasses.replace(
-        cfg,
-        image_token_index=processor.image_token_id
-        if cfg.vocab_size < 100000
-        else cfg.image_token_index,
-        vocab_size=max(cfg.vocab_size, tokenizer.vocab_size),
-    )
+    from paligemma_tpu.processing import align_config
+
+    cfg = align_config(cfg, processor)  # image id + BOTH vocab sizes
     params = paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype)
     return params, cfg, processor, dtype
 

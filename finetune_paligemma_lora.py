@@ -75,11 +75,9 @@ def main(argv=None):
             tokenizer, cfg.vision_config.num_image_tokens,
             cfg.vision_config.image_size,
         )
-        cfg = dataclasses.replace(
-            cfg,
-            image_token_index=proc.image_token_id,
-            vocab_size=max(cfg.vocab_size, tokenizer.vocab_size + 1200),
-        )
+        from paligemma_tpu.processing import align_config
+
+        cfg = align_config(cfg, proc)  # image id + BOTH vocab sizes
         params = paligemma.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
         image_size = cfg.vision_config.image_size
         num_image_tokens = cfg.vision_config.num_image_tokens

@@ -51,7 +51,9 @@ def test_inference(
     from PIL import Image
 
     from paligemma_tpu import generation
+    from paligemma_tpu.processing import assert_aligned
 
+    assert_aligned(processor, cfg)  # tokenizer/config contract, fail loudly
     image = Image.open(image_file_path).convert("RGB")
     inputs = processor(text=[prompt], images=[image])
     ids = jnp.asarray(inputs["input_ids"])
@@ -89,11 +91,9 @@ def load_for_cli(model_path, demo: bool):
         tokenizer = ByteTokenizer()
         cfg = tiny_config()
         processor = build_processor(tokenizer, cfg)
-        cfg = dataclasses.replace(
-            cfg,
-            image_token_index=processor.image_token_id,
-            vocab_size=max(cfg.vocab_size, tokenizer.vocab_size),
-        )
+        from paligemma_tpu.processing import align_config
+
+        cfg = align_config(cfg, processor)  # image id + BOTH vocab sizes
         params = paligemma.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
         return params, cfg, processor
 

@@ -164,9 +164,13 @@ def decode_step(
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step: (B, 1) token -> (B, 1, V) fp32 logits + updated cache.
 
-    Position = cache length (the reference's cumsum-of-ones position,
-    modeling_gemma.py:524-528); attention spans all cached positions plus the
-    new one (all-zeros mask over valid slots).
+    Position = cache length, i.e. the first decoded token sits at position T
+    (prefix length). This intentionally fixes the reference driver's
+    off-by-one — it appends to attention_mask *before* the forward, so its
+    cumsum position (modeling_gemma.py:524-528) lands at T+1 — and instead
+    matches HF transformers' semantics (pinned by the golden decode-parity
+    test). Attention spans all cached positions plus the new one (all-zeros
+    mask over valid slots).
     """
     positions = jnp.broadcast_to(
         cache.length.astype(jnp.int32)[None, None], (token.shape[0], 1)
@@ -232,6 +236,17 @@ def forward(
     "input cannot be padded" contract, modeling_gemma.py:559) — padded
     batches go through ``paligemma_tpu.serving`` instead.
     """
+    # This wrapper routes on *host-side* values (cache fill level, mask
+    # content) and therefore cannot run under jit — fail with a clear message
+    # instead of a TracerBoolConversionError deep inside.
+    if isinstance(input_ids, jax.core.Tracer) or (
+        kv_cache is not None and isinstance(kv_cache.length, jax.core.Tracer)
+    ):
+        raise TypeError(
+            "paligemma.forward is a host-side router and cannot be traced "
+            "under jax.jit; jit prefill / decode_step / forward_nocache "
+            "directly (they are pure and jittable)"
+        )
     if attention_mask is not None:
         assert bool(jnp.all(attention_mask == 1)), "The input cannot be padded"
 

@@ -215,6 +215,47 @@ class ByteTokenizer:
         return "".join(out)
 
 
+def align_config(cfg, processor):
+    """Return ``cfg`` with the tokenizer contract applied: image_token_index
+    = the processor's actual ``<image>`` id, and BOTH vocab sizes (composite
+    and nested text config — the embedding table is sized from
+    ``text_config.vocab_size``) grown to cover every id the tokenizer can
+    emit. Without the nested replace, out-of-range ids silently clamp in
+    ``jnp.take`` and merge garbage rows.
+    """
+    import dataclasses
+
+    tok_vocab = getattr(processor.tokenizer, "vocab_size", 0) or 0
+    v = max(cfg.text_config.vocab_size, tok_vocab, processor.image_token_id + 1)
+    return dataclasses.replace(
+        cfg,
+        image_token_index=processor.image_token_id,
+        vocab_size=max(cfg.vocab_size, v),
+        text_config=dataclasses.replace(cfg.text_config, vocab_size=v),
+    )
+
+
+def assert_aligned(processor, cfg) -> None:
+    """Fail loudly if the processor's tokenizer and the model config disagree
+    — a silent mismatch merges image features at the wrong positions (the
+    fragile convention the byte-tokenizer demo paths rely on). Call where a
+    processor and a config first meet (drivers, serving engines).
+    """
+    if processor.image_token_id != cfg.image_token_index:
+        raise ValueError(
+            f"processor <image> id {processor.image_token_id} != "
+            f"cfg.image_token_index {cfg.image_token_index}: align the config "
+            "with processing.align_config(cfg, processor) before building "
+            "model inputs"
+        )
+    if processor.image_token_id >= cfg.text_config.vocab_size:
+        raise ValueError(
+            f"image token id {processor.image_token_id} is out of range for "
+            f"the embedding table (text vocab {cfg.text_config.vocab_size}); "
+            "use processing.align_config(cfg, processor)"
+        )
+
+
 class PaliGemmaProcessor:
     """Image + prompt -> model inputs (reference: processing_paligemma.py:52-117)."""
 

@@ -34,9 +34,17 @@ class QTensor(NamedTuple):
     scale: jnp.ndarray
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("axis",))
 def quantize_tensor(w: jnp.ndarray, axis: int) -> QTensor:
     """Symmetric int8 quantization with the scale reduced over ``axis``
-    (the contraction axis), keeping one scale per output channel."""
+    (the contraction axis), keeping one scale per output channel.
+
+    Jitted so XLA fuses abs/max/round/clip into one pass — eager execution
+    would materialize several fp32 copies of the (multi-GB, fused-kernel)
+    weight and OOM a 16 GB chip."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
@@ -75,13 +83,9 @@ def quantize_params(params: Dict[str, Any], llm_only: bool = True) -> Dict[str, 
     for name in ("qkv", "o", "gate_up", "down"):
         layers[name] = quantize_tensor(layers[name], axis=1)  # (L, in, out): reduce in
     llm["layers"] = layers
-    emb = llm["embed"]
-    embf = emb.astype(jnp.float32)
-    amax = jnp.maximum(jnp.max(jnp.abs(embf), axis=1, keepdims=True), 1e-8)
-    llm["embed"] = QTensor(
-        q=jnp.clip(jnp.round(embf / (amax / 127.0)), -127, 127).astype(jnp.int8),
-        scale=amax / 127.0,  # (V, 1)
-    )
+    # Per-row (V, 1) scales serve both the embedding lookup and the tied
+    # lm_head; reuse the jitted kernel with axis=1.
+    llm["embed"] = quantize_tensor(llm["embed"], axis=1)
     out["llm"] = llm
 
     if llm_only:

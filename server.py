@@ -40,6 +40,9 @@ class Engine:
         from inference import load_for_cli
 
         self.params, self.cfg, self.processor = load_for_cli(model_path, demo)
+        from paligemma_tpu.processing import assert_aligned
+
+        assert_aligned(self.processor, self.cfg)
         self.model_name = model_path or "demo-tiny-random"
         self.lock = threading.Lock()
 
@@ -94,6 +97,7 @@ class Engine:
 
         chunks: "queue.Queue" = queue.Queue()
         SENTINEL = object()
+        cancel = threading.Event()  # set when the SSE client goes away
 
         def worker():
             try:
@@ -106,6 +110,11 @@ class Engine:
                         top_p=top_p, cache_dtype=dtype,
                     ):
                         chunks.put(piece)
+                        if cancel.is_set():
+                            # Client disconnected: stop decoding now so one
+                            # abandoned long-max_tokens stream does not hold
+                            # the engine lock against every other request.
+                            break
                 chunks.put(SENTINEL)
             except Exception as e:  # surfaced to the consumer
                 chunks.put(e)
@@ -114,18 +123,23 @@ class Engine:
 
         seen: list = []
         prev_text = ""
-        while True:
-            piece = chunks.get()
-            if piece is SENTINEL:
-                return
-            if isinstance(piece, Exception):
-                raise piece
-            seen.extend(piece)
-            # Re-decode the prefix each time: byte-level/UTF-8 tokenizers
-            # can only produce stable text at whole-sequence granularity.
-            text = self.processor.tokenizer.decode(seen, skip_special_tokens=True)
-            yield piece, text[len(prev_text):]
-            prev_text = text
+        try:
+            while True:
+                piece = chunks.get()
+                if piece is SENTINEL:
+                    return
+                if isinstance(piece, Exception):
+                    raise piece
+                seen.extend(piece)
+                # Re-decode the prefix each time: byte-level/UTF-8 tokenizers
+                # can only produce stable text at whole-sequence granularity.
+                text = self.processor.tokenizer.decode(seen, skip_special_tokens=True)
+                yield piece, text[len(prev_text):]
+                prev_text = text
+        finally:
+            # Consumer gone (BrokenPipeError in the handler closes this
+            # generator) or finished: either way, release the worker.
+            cancel.set()
 
 
 class Batcher:
@@ -328,7 +342,7 @@ def make_handler(engine: Engine, batcher=None):
                 if batcher is not None:
                     out = batcher.submit({"prompt": prompt, "image": image, **params})
                 else:
-                    out = engine.generate(prompt, image, *params.values())
+                    out = engine.generate(prompt, image, **params)
                 self._send(200, out)
             except Exception as e:  # surfacing engine errors as 500s
                 self._send(500, {"error": repr(e)})
@@ -336,7 +350,7 @@ def make_handler(engine: Engine, batcher=None):
         def _stream(self, prompt, image, params):
             """Server-Sent Events: one event per compiled decode chunk."""
             try:
-                gen = engine.generate_stream(prompt, image, *params.values())
+                gen = engine.generate_stream(prompt, image, **params)
                 first = next(gen)  # run prefill before committing to 200
             except StopIteration:
                 first = None

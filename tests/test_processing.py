@@ -86,3 +86,86 @@ def test_preprocess_jit_close_to_host():
     # Different bicubic kernels: allow loose agreement, enforce same range.
     assert np.mean(np.abs(dev - host)) < 0.15
     assert abs(dev.mean() - host.mean()) < 0.05
+
+
+def test_align_config_and_assert(processor):
+    """align_config must size BOTH vocab fields (the embedding table is sized
+    from text_config.vocab_size) and set image_token_index; assert_aligned
+    fails loudly on the silent-garbage-merge misconfigurations."""
+    import dataclasses
+
+    from paligemma_tpu.config import tiny_config
+    from paligemma_tpu.processing import align_config, assert_aligned
+
+    cfg = tiny_config()
+    # ByteTokenizer + processor registers <image>/<loc>/<seg>: ids beyond the
+    # tiny 260 vocab, which is exactly the out-of-range clamp hazard.
+    assert processor.tokenizer.vocab_size > cfg.text_config.vocab_size
+    aligned = align_config(cfg, processor)
+    assert aligned.image_token_index == processor.image_token_id
+    assert aligned.text_config.vocab_size >= processor.tokenizer.vocab_size
+    assert aligned.vocab_size >= aligned.text_config.vocab_size
+    assert_aligned(processor, aligned)  # no raise
+
+    with pytest.raises(ValueError, match="image_token_index"):
+        assert_aligned(processor, cfg)  # unaligned image id
+    bad = dataclasses.replace(
+        aligned,
+        text_config=dataclasses.replace(aligned.text_config, vocab_size=10),
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        assert_aligned(processor, bad)
+
+
+def test_embedding_covers_every_tokenizer_id(processor):
+    """End-to-end guard for the clamp hazard: every id the tokenizer can emit
+    (incl. the highest <seg> token) must hit a distinct embedding row."""
+    import jax
+    import jax.numpy as jnp
+
+    from paligemma_tpu.config import tiny_config
+    from paligemma_tpu.models import gemma
+    from paligemma_tpu.processing import align_config
+
+    cfg = align_config(tiny_config(), processor)
+    params = gemma.init_params(cfg.text_config, jax.random.PRNGKey(0))
+    top_id = processor.tokenizer.convert_tokens_to_ids("<seg127>")
+    ids = jnp.asarray([[top_id, top_id - 1]], jnp.int32)
+    rows = gemma.embed_tokens(params, ids)
+    # Distinct ids -> distinct rows (a clamping table would collapse them).
+    assert not np.allclose(np.asarray(rows[0, 0]), np.asarray(rows[0, 1]))
+
+
+def test_hf_fast_tokenizer_protocol_conformance():
+    """A real HF PreTrainedTokenizerFast (built in-memory — no network assets)
+    must drop into PaliGemmaProcessor unmodified: the processor only uses the
+    HF protocol subset {add_special_tokens, add_tokens,
+    convert_tokens_to_ids, __call__(padding/truncation), decode,
+    bos/eos/pad attrs} (reference: utils.py:8, processing_paligemma.py:63-75).
+    """
+    transformers = pytest.importorskip("transformers")
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    words = ["describe", "the", "chart", "a", "b", "hello"]
+    vocab = {w: i + 4 for i, w in enumerate(words)}
+    vocab.update({"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3})
+    tk = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tk.pre_tokenizer = Whitespace()
+    tok = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tk,
+        pad_token="<pad>", bos_token="<bos>", eos_token="<eos>",
+        unk_token="<unk>", padding_side="right",
+    )
+
+    proc = PaliGemmaProcessor(tok, num_image_tokens=4, image_size=16)
+    out = proc(text=["describe the chart"], images=[random_image()])
+    ids = out["input_ids"][0].tolist()
+    img_id = proc.image_token_id
+    assert ids[:4] == [img_id] * 4, ids  # fixed-length image prefix
+    assert ids[4] == tok.bos_token_id  # template BOS, no auto-BOS duplicate
+    assert out["attention_mask"].shape == out["input_ids"].shape
+    # decode round-trips the text portion
+    text = tok.decode(ids[5:], skip_special_tokens=True)
+    assert "describe" in text and "chart" in text
