@@ -35,8 +35,8 @@ from paligemma_tpu.models import paligemma
 from paligemma_tpu.quantization import quantize_params
 from paligemma_tpu.utils.memory import peak_memory_mb
 
-WARMUP_TOKENS = 32  # reference: ablation_study_fixed.py:23
-MEASURE_TOKENS = 128
+WARMUP_TOKENS = 64  # >= the reference's 32-token warm-up exclusion
+MEASURE_TOKENS = 256
 BASELINE_TOK_S = 10.20  # reference kv_cache_128 steady-state tok/s
 
 
@@ -44,7 +44,9 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-CHUNK = 16  # decode steps per compiled program (amortizes dispatch RPC)
+# Decode steps per compiled program. Each dispatch costs 5-7 ms of tunnel RPC
+# (CLAUDE.md), so chunk 16 taxed every token ~0.4 ms; 64 amortizes it to ~0.1.
+CHUNK = 64
 
 
 REPEATS = 3  # best-of-N: the pool is shared, contention only ever adds time

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from paligemma_tpu.config import GemmaConfig
-from paligemma_tpu.ops.attention import gqa_attention, length_mask
+from paligemma_tpu.ops.attention import LengthMask, gqa_attention, make_length_mask
 from paligemma_tpu.ops.norms import rms_norm
 from paligemma_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -164,14 +164,17 @@ def _attention(
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
     lora_key: Optional[jax.Array] = None,
-    auto_mask: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """GQA attention for one layer (reference: modeling_gemma.py:201-293).
 
     With a cache: writes this step's K/V at ``write_pos`` and attends over the
     whole preallocated buffer under ``mask``. Without: attends over the
-    current sequence only. Optional LoRA adapters on the q/k/v projections
-    (the reference finetune's target_modules, SURVEY.md §2.9).
+    current sequence only. ``mask`` may be a dense additive array or a
+    structured ``LengthMask`` — the latter routes to the Pallas kernels when
+    ``runtime.use_pallas_attention`` is set (including batched serving's
+    per-row layouts), else materializes the identical dense mask for XLA.
+    Optional LoRA adapters on the q/k/v projections (the reference finetune's
+    target_modules, SURVEY.md §2.9).
     """
     b, t, _ = x.shape
     h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -215,18 +218,29 @@ def _attention(
 
     from paligemma_tpu import runtime
 
-    if (
-        runtime.use_pallas_attention
-        and decode_over_cache
-        and write_pos is not None
-        and auto_mask
-    ):
-        # Only when the mask is the auto-generated contiguous validity window
-        # [0, write_pos+1): the kernel reconstructs exactly that. Custom masks
-        # (e.g. batched serving's per-row padding holes) take the XLA path.
-        from paligemma_tpu.ops.pallas_attention import decode_attention
+    if isinstance(mask, LengthMask):
+        if runtime.use_pallas_attention and decode_over_cache:
+            # Decode: the kernel reconstructs per-row visibility
+            # [0, valid[b]) ∪ [gen_start, gen_end) from three scalars —
+            # covers both single-stream decode and batched serving.
+            from paligemma_tpu.ops.pallas_attention import decode_attention
 
-        attn = decode_attention(q, k, v, write_pos + 1, scale=hd**-0.5)
+            attn = decode_attention(
+                q, k, v, mask.valid, scale=hd**-0.5,
+                gen_start=mask.gen_start, gen_end=mask.gen_end,
+            )
+        elif runtime.use_pallas_attention and t > 1:
+            # Prefill over fresh K/V with per-row right-padding.
+            from paligemma_tpu.ops.pallas_attention import flash_attention
+
+            attn = flash_attention(
+                q, k, v, valid_len=mask.valid, scale=hd**-0.5,
+                gen_start=mask.gen_start, gen_end=mask.gen_end,
+            )
+        else:
+            attn = gqa_attention(
+                q, k, v, mask=mask.materialize(k.shape[1]), scale=hd**-0.5
+            )
     elif runtime.use_pallas_attention and mask is None and t > 1:
         from paligemma_tpu.ops.pallas_attention import flash_attention
 
@@ -262,14 +276,13 @@ def _decoder_layer(
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
     lora_key: Optional[jax.Array] = None,
-    auto_mask: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Pre-RMSNorm decoder block (reference: modeling_gemma.py:295-338)."""
     residual = h
     x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
     attn_out, new_kv = _attention(
         cfg, lp, x, cos, sin, cache_kv, write_pos, mask,
-        lora, lora_scale, lora_dropout, lora_key, auto_mask,
+        lora, lora_scale, lora_dropout, lora_key,
     )
     h = residual + attn_out
     residual = h
@@ -299,10 +312,12 @@ def forward(
       positions: (B, T) int32 RoPE positions.
       cache: optional preallocated KVCache; this step's K/V are written at
         ``cache.length`` and attention spans the whole buffer under ``mask``.
-      mask: optional additive mask broadcastable to (B, Hkv, G, T, S); when
-        None and cache is set, a validity mask over written slots is built
-        automatically. All-zero (bidirectional) semantics otherwise, matching
-        PaliGemma's prefix-LM mask (reference: modeling_gemma.py:506-514).
+      mask: optional — either a dense additive mask broadcastable to
+        (B, Hkv, G, T, S) or a structured ``ops.attention.LengthMask`` (the
+        Pallas-routable form). When None and cache is set, a validity
+        LengthMask over written slots is built automatically. All-zero
+        (bidirectional) semantics otherwise, matching PaliGemma's prefix-LM
+        mask (reference: modeling_gemma.py:506-514).
 
     Returns:
       (hidden (B, T, D), updated cache or None)
@@ -317,14 +332,13 @@ def forward(
     use_cache = cache is not None
     use_lora = lora is not None
     write_pos = cache.length if use_cache else None
-    auto_mask = mask is None  # caller did not supply a custom mask
     if use_cache:
         t = inputs_embeds.shape[1]
         if mask is None and t == 1:
             # Decode: mask unwritten cache slots. Prefill (t > 1) attends over
             # the fresh K/V bidirectionally and needs no mask (all-zeros mask
             # semantics, reference: modeling_gemma.py:506-514).
-            mask = length_mask(cache.length + t, cache.max_len, inputs_embeds.shape[0])
+            mask = make_length_mask(cache.length + t, batch=inputs_embeds.shape[0])
 
     xs: Dict[str, Any] = {"lp": params["layers"]}
     if use_cache:
@@ -338,7 +352,7 @@ def forward(
         cache_kv = (x["ck"], x["cv"]) if use_cache else None
         new_h, new_kv = _decoder_layer(
             cfg, x["lp"], carry, cos, sin, cache_kv, write_pos, mask,
-            x.get("lora"), lora_scale, lora_dropout, x.get("lkey"), auto_mask,
+            x.get("lora"), lora_scale, lora_dropout, x.get("lkey"),
         )
         if hidden_sharding is not None:
             # Sequence-parallel residual stream: GSPMD keeps the (B, T, D)
@@ -348,7 +362,9 @@ def forward(
             new_h = jax.lax.with_sharding_constraint(new_h, hidden_sharding)
         return new_h, (new_kv if use_cache else None)
 
-    h, ys = jax.lax.scan(body, h, xs)
+    from paligemma_tpu import runtime
+
+    h, ys = jax.lax.scan(body, h, xs, unroll=runtime.scan_unroll)
     if use_cache:
         nk, nv = ys
         new_cache = KVCache(k=nk, v=nv, length=cache.length + inputs_embeds.shape[1])

@@ -207,9 +207,9 @@ def forward_nocache(
     positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
     mask = None
     if valid_len is not None:
-        from paligemma_tpu.ops.attention import length_mask
+        from paligemma_tpu.ops.attention import make_length_mask
 
-        mask = length_mask(valid_len, t, b)
+        mask = make_length_mask(valid_len, batch=b)
     hidden, _ = gemma.forward(
         params["llm"], cfg.text_config, embeds, positions, cache=None, mask=mask,
         lora=lora, lora_scale=lora_scale, lora_dropout=lora_dropout,

@@ -22,13 +22,47 @@ semantics they are tested against.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 # Large negative additive-mask value, safe in fp32 softmax.
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+class LengthMask(NamedTuple):
+    """Structured attention mask: row ``b`` sees kv positions
+    ``[0, valid[b]) ∪ [gen_start, gen_end)``.
+
+    This covers every mask the model ever needs — contiguous validity windows
+    (decode over a warm cache, padded prefill) and batched serving's
+    "own prompt + shared generated slots" layout — while staying structured
+    enough for the Pallas decode kernel to reconstruct visibility from three
+    integers instead of reading a dense (B, S) mask from HBM. The XLA path
+    materializes the identical additive mask via ``materialize``.
+    """
+
+    valid: jnp.ndarray  # (B,) int32 — per-row visible prefix [0, valid[b])
+    gen_start: jnp.ndarray  # () int32 — shared window start (empty if >= end)
+    gen_end: jnp.ndarray  # () int32 — shared window end (exclusive)
+
+    def materialize(self, s_len: int) -> jnp.ndarray:
+        """Additive fp32 mask (B, 1, 1, 1, S) for the einsum attention path."""
+        s = jnp.arange(s_len)
+        own = s[None, :] < self.valid[:, None]
+        gen = (s[None, :] >= self.gen_start) & (s[None, :] < self.gen_end)
+        m = jnp.where(own | gen, 0.0, MASK_VALUE).astype(jnp.float32)
+        return m[:, None, None, None, :]
+
+
+def make_length_mask(valid_len, batch: Optional[int] = None) -> LengthMask:
+    """LengthMask with an empty shared window from scalar or (B,) lengths."""
+    valid = jnp.asarray(valid_len, jnp.int32).reshape(-1)
+    if batch is not None and valid.shape[0] == 1 and batch > 1:
+        valid = jnp.broadcast_to(valid, (batch,))
+    zero = jnp.zeros((), jnp.int32)
+    return LengthMask(valid=valid, gen_start=zero, gen_end=zero)
 
 
 def mha(

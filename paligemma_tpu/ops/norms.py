@@ -6,9 +6,10 @@ Numerics match the reference exactly for the 1e-3 logit-fidelity bar:
 - LayerNorm computes in fp32 and casts back (torch ``nn.LayerNorm`` semantics,
   reference: modeling_siglip.py:175-177).
 
-A fused Pallas RMSNorm kernel lives in ``paligemma_tpu.ops.pallas_norms``;
-these XLA versions are the reference/fallback path (XLA fuses them into
-neighbouring ops already; the Pallas versions exist for the decode hot loop).
+These are XLA-path ops on purpose: at decode shapes (B, 1, D) a standalone
+norm kernel cannot beat XLA, which fuses the fp32 square-mean/rsqrt/scale
+into the neighbouring elementwise work for free. (A standalone Pallas
+RMSNorm existed in round 1, was never load-bearing, and was removed.)
 """
 from __future__ import annotations
 

@@ -45,14 +45,16 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, block_k):
+def _flash_kernel(valid_ref, win_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, block_k):
     """One (batch, head, q-block, k-block) step of online-softmax attention.
 
     Grid: (B, H, num_q_blocks, num_k_blocks); the k-block axis is innermost so
-    the fp32 accumulator carries across it in VMEM scratch.
+    the fp32 accumulator carries across it in VMEM scratch. Visibility is
+    LengthMask semantics: row b sees kv ``[0, valid[b]) ∪ [win[0], win[1])``.
     """
     kb = pl.program_id(3)
-    valid = valid_ref[0]
+    valid = valid_ref[pl.program_id(0)]  # per-row (B,) validity
+    w0, w1 = win_ref[0], win_ref[1]
 
     @pl.when(kb == 0)
     def _init():
@@ -69,9 +71,10 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, 
     )  # (bq, bk) fp32
     s = s * scale
 
-    # Mask kv positions beyond valid (padding tail).
+    # Mask kv positions beyond valid (padding tail), minus the shared window.
     offs = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(offs < valid, s, NEG_INF)
+    visible = (offs < valid) | ((offs >= w0) & (offs < w1))
+    s = jnp.where(visible, s, NEG_INF)
 
     m_prev = m_ref[:]  # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -102,12 +105,15 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 128,
     block_k: int = 128,
+    gen_start=None,
+    gen_end=None,
 ) -> jnp.ndarray:
     """Bidirectional (prefix-LM) flash attention with GQA support.
 
     Args:
       q: (B, T, H, D); k, v: (B, S, Hkv, D) with H % Hkv == 0.
-      valid_len: optional scalar/()-array: kv positions >= valid_len masked.
+      valid_len: optional scalar or (B,) int32: row b's kv positions >=
+        valid_len[b] are masked (right-padded batches).
     Returns:
       (B, T, H, D) in q.dtype. T and S are padded internally to block size.
     """
@@ -128,16 +134,26 @@ def flash_attention(
     vp = vp.transpose(0, 2, 1, 3)
 
     if valid_len is None:
-        valid = jnp.full((1,), s_len, jnp.int32)
+        valid = jnp.full((b,), s_len, jnp.int32)
     else:
-        valid = jnp.asarray(valid_len, jnp.int32).reshape(1)
+        valid = jnp.asarray(valid_len, jnp.int32).reshape(-1)
+        if valid.shape[0] == 1 and b > 1:
+            valid = jnp.broadcast_to(valid, (b,))
+        assert valid.shape[0] == b, (valid.shape, b)
+    zero = jnp.zeros((), jnp.int32)
+    win = jnp.stack(
+        [
+            jnp.asarray(gen_start, jnp.int32) if gen_start is not None else zero,
+            jnp.asarray(gen_end, jnp.int32) if gen_end is not None else zero,
+        ]
+    )
 
     grid = (b, h, t_pad // block_q, s_pad // block_k)
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, block_k=block_k),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -161,7 +177,7 @@ def flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
         interpret=_interpret(),
-    )(valid, qp, kp, vp)
+    )(valid, win, qp, kp, vp)
 
     return out.transpose(0, 2, 1, 3)[:, :t]
 
@@ -171,9 +187,16 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
-    """One (batch, kv-head) program: (G, D) queries vs the (S, D) cache panel."""
-    valid = len_ref[0]
+def _decode_kernel(len_ref, win_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    """One (batch, kv-head) program: (G, D) queries vs the (S, D) cache panel.
+
+    Visibility is reconstructed from three scalars (LengthMask semantics):
+    row ``b`` sees positions ``[0, len[b]) ∪ [win[0], win[1])`` — no dense
+    mask ever leaves SMEM.
+    """
+    bi = pl.program_id(0)
+    valid = len_ref[bi]
+    w0, w1 = win_ref[0], win_ref[1]
     q = q_ref[0, 0, ...]  # (G, D)
     k = k_ref[0, 0, ...]  # (S, D)
     v = v_ref[0, 0, ...]  # (S, D)
@@ -183,7 +206,8 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
     )  # (G, S)
     s = s * scale
     pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(pos < valid, s, NEG_INF)
+    visible = (pos < valid) | ((pos >= w0) & (pos < w1))
+    s = jnp.where(visible, s, NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -201,13 +225,18 @@ def decode_attention(
     v_cache: jnp.ndarray,
     valid_len: jnp.ndarray,
     scale: Optional[float] = None,
+    gen_start=None,
+    gen_end=None,
 ) -> jnp.ndarray:
     """Single-token GQA decode attention against the preallocated cache.
 
     Args:
       q: (B, 1, H, D) this step's queries (RoPE already applied).
       k_cache, v_cache: (B, S, Hkv, D) — the full cache buffers.
-      valid_len: () int32 — positions >= valid_len are masked (unwritten).
+      valid_len: () or (B,) int32 — row b sees positions < valid_len[b] ...
+      gen_start, gen_end: optional () int32 — ... plus the shared window
+        [gen_start, gen_end) (batched serving's generated slots; pad holes
+        between a row's prompt and the window stay masked).
     Returns:
       (B, 1, H, D) in q.dtype.
     """
@@ -221,12 +250,21 @@ def decode_attention(
     qg = q.reshape(b, hkv, g, d)
     kt = k_cache.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
     vt = v_cache.transpose(0, 2, 1, 3)
-    valid = jnp.asarray(valid_len, jnp.int32).reshape(1)
+    valid = jnp.asarray(valid_len, jnp.int32).reshape(-1)
+    if valid.shape[0] == 1 and b > 1:
+        valid = jnp.broadcast_to(valid, (b,))
+    zero = jnp.zeros((), jnp.int32)
+    win = jnp.stack(
+        [
+            jnp.asarray(gen_start, jnp.int32) if gen_start is not None else zero,
+            jnp.asarray(gen_end, jnp.int32) if gen_end is not None else zero,
+        ]
+    )
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b, hkv),
             in_specs=[
                 pl.BlockSpec((1, 1, g, d), lambda bi, ki, *_: (bi, ki, 0, 0)),
@@ -237,6 +275,6 @@ def decode_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
         interpret=_interpret(),
-    )(valid, qg, kt, vt)
+    )(valid, win, qg, kt, vt)
 
     return out.reshape(b, 1, h, d)

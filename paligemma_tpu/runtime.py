@@ -1,12 +1,19 @@
 """Runtime feature flags (trace-time switches).
 
-``use_pallas_attention`` routes Gemma decode attention and prefill/vision
-attention through the Pallas kernels instead of the XLA einsum path. Both
-paths are numerically validated against each other (tests/test_pallas_kernels
-.py); the default is chosen by benchmark (bench.py compares them).
+``use_pallas_attention`` routes Gemma attention (decode, prefill, and batched
+serving via the structured ``LengthMask``) plus SigLIP attention through the
+Pallas kernels instead of the XLA einsum path. Both paths are numerically
+validated against each other (tests/test_pallas_kernels.py). The default is
+set from measured TPU data — see REPORT.md §Pallas-vs-XLA (run
+``scripts/bench_decode_variants.py`` to reproduce).
+
+``scan_unroll`` unrolls the decoder's ``lax.scan`` over layers by this factor,
+letting the scheduler overlap the next layer's weight streaming with the
+current layer's compute. Measured on TPU by the same script.
 
 Set flags BEFORE the first jit trace of the functions they affect — flipping
-them later does not invalidate already-compiled programs.
+them later does not invalidate already-compiled programs (tests call
+``jax.clear_caches()`` around flag flips).
 """
 from __future__ import annotations
 
@@ -14,10 +21,17 @@ import os
 
 use_pallas_attention: bool = os.environ.get("PALIGEMMA_PALLAS_ATTENTION", "0") == "1"
 
+scan_unroll: int = int(os.environ.get("PALIGEMMA_SCAN_UNROLL", "1"))
+
 
 def set_pallas_attention(enabled: bool) -> None:
     global use_pallas_attention
     use_pallas_attention = enabled
+
+
+def set_scan_unroll(n: int) -> None:
+    global scan_unroll
+    scan_unroll = n
 
 
 def enable_compilation_cache(path: str = None) -> None:

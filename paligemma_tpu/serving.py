@@ -28,7 +28,7 @@ import numpy as np
 from paligemma_tpu import generation
 from paligemma_tpu.config import PaliGemmaConfig
 from paligemma_tpu.models import gemma, paligemma
-from paligemma_tpu.ops.attention import MASK_VALUE
+from paligemma_tpu.ops.attention import LengthMask
 from paligemma_tpu.ops.sampling import greedy, sample_top_p
 
 
@@ -86,9 +86,9 @@ def batched_prefill(params, cfg: PaliGemmaConfig, input_ids, pixel_values, valid
     positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
     positions = jnp.minimum(positions, jnp.maximum(valid[:, None] - 1, 0))
 
-    from paligemma_tpu.ops.attention import length_mask
+    from paligemma_tpu.ops.attention import make_length_mask
 
-    mask = length_mask(valid, t, b)
+    mask = make_length_mask(valid, batch=b)
 
     hidden, new_cache = gemma.forward(
         params["llm"], cfg.text_config, embeds, positions, cache=cache, mask=mask
@@ -114,11 +114,15 @@ def _decode_step_inner(
     g = cache.length - t_prompt
     positions = (valid + g)[:, None].astype(jnp.int32)
     embeds = gemma.embed_tokens(params["llm"], token)
-    s = jnp.arange(cache.max_len)
-    own = s[None, :] < valid[:, None]
-    gen = (s[None, :] >= t_prompt) & (s[None, :] <= cache.length)
-    mask = jnp.where(own | gen, 0.0, MASK_VALUE).astype(jnp.float32)
-    mask = mask[:, None, None, None, :]
+    # Structured mask: each row sees its own prompt [0, valid) plus the shared
+    # generated window [t_prompt, cache.length] (inclusive of this step's
+    # write); pad holes stay masked. LengthMask routes to the Pallas decode
+    # kernel when enabled, else materializes the identical dense mask.
+    mask = LengthMask(
+        valid=valid.astype(jnp.int32),
+        gen_start=jnp.asarray(t_prompt, jnp.int32),
+        gen_end=(cache.length + 1).astype(jnp.int32),
+    )
 
     # gemma.forward derives cos/sin from our per-row positions and writes the
     # new KV at cache.length; the mask above overrides its default.

@@ -5,9 +5,7 @@ import numpy as np
 import pytest
 
 from paligemma_tpu.ops.attention import gqa_attention, length_mask, mha
-from paligemma_tpu.ops.norms import rms_norm
 from paligemma_tpu.ops.pallas_attention import decode_attention, flash_attention
-from paligemma_tpu.ops.pallas_norms import rms_norm_pallas
 
 
 @pytest.mark.parametrize("t,h,hkv,d", [(64, 4, 4, 32), (48, 4, 2, 32)])
@@ -72,23 +70,6 @@ def test_decode_attention_ignores_unwritten_slots():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
-@pytest.mark.parametrize("shape", [(7, 32), (2, 9, 32), (300, 64)])
-def test_rms_norm_pallas_matches_xla(shape):
-    x = jax.random.normal(jax.random.PRNGKey(0), shape)
-    w = jax.random.normal(jax.random.PRNGKey(1), (shape[-1],)) * 0.1
-    ref = rms_norm(x, w)
-    out = rms_norm_pallas(x, w, block_t=16)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
-
-
-def test_rms_norm_pallas_bf16():
-    x = jax.random.normal(jax.random.PRNGKey(0), (16, 32)).astype(jnp.bfloat16)
-    w = (jax.random.normal(jax.random.PRNGKey(1), (32,)) * 0.1).astype(jnp.bfloat16)
-    ref = rms_norm(x, w)
-    out = rms_norm_pallas(x, w, block_t=16)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
-
-
 def test_full_model_pallas_path_matches_xla(params, cfg, sample_inputs):
     """End-to-end: prefill + decode with use_pallas_attention on == off."""
     import jax.numpy as jnp
@@ -112,3 +93,87 @@ def test_full_model_pallas_path_matches_xla(params, cfg, sample_inputs):
 
     np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_decode_attention_per_row_lengths_and_window():
+    """LengthMask semantics in the kernel: row b sees [0, valid[b]) plus the
+    shared [gen_start, gen_end) window — batched serving's layout — and must
+    match the dense-mask XLA path exactly."""
+    from paligemma_tpu.ops.attention import LengthMask
+
+    b, h, hkv, d, s = 3, 4, 2, 16, 48
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, hkv, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, hkv, d))
+    lm = LengthMask(
+        valid=jnp.asarray([7, 12, 3], jnp.int32),
+        gen_start=jnp.int32(20),
+        gen_end=jnp.int32(25),
+    )
+    ref = gqa_attention(q, k, v, mask=lm.materialize(s))
+    out = decode_attention(
+        q, k, v, lm.valid, gen_start=lm.gen_start, gen_end=lm.gen_end
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # The pad hole [valid_b, 20) must be fully masked: poisoning it is a no-op.
+    k_p = k.at[:, 15:20].set(1e9)
+    v_p = v.at[:, 15:20].set(1e9)
+    out2 = decode_attention(
+        q, k_p, v_p, lm.valid, gen_start=lm.gen_start, gen_end=lm.gen_end
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_flash_attention_per_row_lengths():
+    b, t, h, d = 3, 32, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, t, h, d))
+    valid = jnp.asarray([20, 32, 5], jnp.int32)
+    out = flash_attention(q, k, v, valid_len=valid, block_q=16, block_k=16)
+    ref = gqa_attention(q, k, v, mask=length_mask(valid, t, b))
+    for i in range(b):
+        vl = int(valid[i])
+        np.testing.assert_allclose(
+            np.asarray(out[i, :vl]), np.asarray(ref[i, :vl]), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_batched_serving_pallas_matches_xla(params, cfg):
+    """The batched serving path (per-row prompts + shared generated window)
+    must produce identical tokens with the Pallas kernels on and off."""
+    from paligemma_tpu import runtime, serving
+    from paligemma_tpu.processing import ByteTokenizer, PaliGemmaProcessor, align_config
+    from PIL import Image
+
+    tok = ByteTokenizer()
+    proc = PaliGemmaProcessor(
+        tok, cfg.vision_config.num_image_tokens, cfg.vision_config.image_size
+    )
+    acfg = align_config(cfg, proc)
+    from paligemma_tpu.models import paligemma as _pg
+
+    # The params fixture was built for the unaligned cfg; rebuild for acfg.
+    aparams = _pg.init_params(acfg, jax.random.PRNGKey(0), jnp.float32)
+
+    rng = np.random.RandomState(0)
+    images = [Image.fromarray(rng.randint(0, 255, (24, 24, 3), np.uint8))
+              for _ in range(3)]
+    prompts = ["a", "longer prompt here", "mid one"]
+
+    def run():
+        jax.clear_caches()
+        return serving.batch_generate(
+            aparams, acfg, proc, prompts, images, max_new_tokens=6,
+            cache_dtype=jnp.float32, return_tokens=True,
+        )[1]
+
+    try:
+        runtime.set_pallas_attention(False)
+        ref_tokens = run()
+        runtime.set_pallas_attention(True)
+        pallas_tokens = run()
+    finally:
+        runtime.set_pallas_attention(False)
+        jax.clear_caches()
+    assert pallas_tokens == ref_tokens
