@@ -204,8 +204,19 @@ def _attention(
     decode_over_cache = False
     if cache_kv is not None:
         ck, cv = cache_kv  # (B, S, Hkv, hd)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, write_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, write_pos, 0, 0))
+        if write_pos is not None and getattr(write_pos, "ndim", 0) == 1:
+            # Per-row write positions (continuous batching: each slot is at
+            # its own sequence length) — one scatter instead of a slice.
+            rows = jnp.arange(b)
+            ck = ck.at[rows, write_pos].set(k[:, 0].astype(ck.dtype))
+            cv = cv.at[rows, write_pos].set(v[:, 0].astype(cv.dtype))
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, write_pos, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, write_pos, 0, 0)
+            )
         new_cache_kv = (ck, cv)
         if t == 1:
             # Decode: single query attends over the whole preallocated buffer
@@ -303,6 +314,7 @@ def forward(
     lora_dropout: float = 0.0,
     lora_keys: Optional[jax.Array] = None,
     hidden_sharding=None,
+    row_lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Decoder trunk: embeds -> hidden states (reference: GemmaModel.forward).
 
@@ -332,7 +344,15 @@ def forward(
     use_cache = cache is not None
     use_lora = lora is not None
     write_pos = cache.length if use_cache else None
-    if use_cache:
+    if row_lengths is not None:
+        # Continuous batching: each row (slot) writes this step's K/V at its
+        # own length and sees exactly its own [0, len_b] prefix.
+        if not use_cache or inputs_embeds.shape[1] != 1:
+            raise ValueError("row_lengths requires a cache and single-token decode")
+        write_pos = row_lengths.astype(jnp.int32)
+        if mask is None:
+            mask = make_length_mask(write_pos + 1)
+    elif use_cache:
         t = inputs_embeds.shape[1]
         if mask is None and t == 1:
             # Decode: mask unwritten cache slots. Prefill (t > 1) attends over

@@ -1,0 +1,102 @@
+"""Continuous (slot-level) batching: per-request token identity vs batch-1
+generate, slot eviction/reuse, and queueing beyond slot capacity.
+
+The oracle is ``generation.generate`` — the reference-shaped batch-1 driver
+(reference: inference.py:34-85). Every request routed through the continuous
+engine must produce exactly the tokens it would have produced alone.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from paligemma_tpu import generation
+from paligemma_tpu.config import tiny_config
+from paligemma_tpu.continuous import ContinuousBatcher
+from paligemma_tpu.models import paligemma
+from paligemma_tpu.processing import ByteTokenizer, PaliGemmaProcessor, align_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tok = ByteTokenizer()
+    cfg = tiny_config()
+    proc = PaliGemmaProcessor(
+        tok, cfg.vision_config.num_image_tokens, cfg.vision_config.image_size
+    )
+    cfg = align_config(cfg, proc)
+    params = paligemma.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.RandomState(7)
+    images = [
+        Image.fromarray(rng.randint(0, 255, (20, 28, 3), np.uint8))
+        for _ in range(4)
+    ]
+    prompts = ["a", "tell me more", "mid", "the longest prompt of them all"]
+    return params, cfg, proc, prompts, images
+
+
+def oracle_tokens(params, cfg, proc, prompt, image, max_new):
+    out = proc(text=[prompt], images=[image])
+    toks, _ = generation.generate(
+        params, cfg,
+        jnp.asarray(out["input_ids"]), jnp.asarray(out["pixel_values"]),
+        max_new_tokens=max_new, eos_token_id=proc.tokenizer.eos_token_id,
+        cache_dtype=jnp.float32,
+    )
+    return toks
+
+
+def test_continuous_matches_batch1_with_queueing(setup):
+    """4 mixed-length requests through 2 slots (so two must queue and join
+    slots mid-flight) == 4 independent batch-1 runs, token for token."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=2, max_new_tokens=7, chunk=3,
+        cache_dtype=jnp.float32,
+    )
+    reqs = [eng.submit(p, im) for p, im in zip(prompts, images)]
+    done = eng.run()
+    assert len(done) == 4 and all(r.done for r in reqs)
+    for p, im, r in zip(prompts, images, reqs):
+        expect = oracle_tokens(params, cfg, proc, p, im, 7)
+        assert r.tokens == expect, (p, r.tokens, expect)
+
+
+def test_single_slot_eviction_and_reuse(setup):
+    """n_slots=1: every request serially joins the SAME slot — exercises
+    eviction, length reset, and K/V row overwrite."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=1, max_new_tokens=5, chunk=2,
+        cache_dtype=jnp.float32,
+    )
+    reqs = [eng.submit(p, im) for p, im in zip(prompts[:3], images[:3])]
+    eng.run()
+    for p, im, r in zip(prompts, images, reqs):
+        assert r.tokens == oracle_tokens(params, cfg, proc, p, im, 5)
+
+
+def test_mid_flight_submit(setup):
+    """A request submitted while the engine is already decoding joins a free
+    slot between chunks and still matches its batch-1 run."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=2, max_new_tokens=6, chunk=2,
+        cache_dtype=jnp.float32,
+    )
+    r0 = eng.submit(prompts[0], images[0])
+    eng.step()  # r0 in flight
+    r1 = eng.submit(prompts[1], images[1])
+    eng.run()
+    assert r0.tokens == oracle_tokens(params, cfg, proc, prompts[0], images[0], 6)
+    assert r1.tokens == oracle_tokens(params, cfg, proc, prompts[1], images[1], 6)
+
+
+def test_budget_guard(setup):
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=1, max_new_tokens=4, cache_dtype=jnp.float32
+    )
+    with pytest.raises(ValueError, match="exceeds the engine budget"):
+        eng.submit(prompts[0], images[0], max_new_tokens=99)
