@@ -83,17 +83,24 @@ def slot_decode_steps(
 
 
 @jax.jit
-def _insert_slot(cache: KVCache, temp: KVCache, slot: jnp.ndarray) -> KVCache:
-    """Copy a batch-1 prefilled cache's K/V rows into slot ``slot``.
-
-    One compiled program serves every slot (slot is a traced scalar)."""
-    k = jax.lax.dynamic_update_slice(
-        cache.k, temp.k.astype(cache.k.dtype), (0, slot, 0, 0, 0)
-    )
-    v = jax.lax.dynamic_update_slice(
-        cache.v, temp.v.astype(cache.v.dtype), (0, slot, 0, 0, 0)
-    )
-    return KVCache(k=k, v=v, length=cache.length)
+def _insert_group(
+    cache: KVCache,
+    temp: KVCache,
+    slots: jnp.ndarray,  # (G,) int32 target rows (pad entries -> trash row)
+    lengths: jnp.ndarray,  # (B,)
+    cur_tok: jnp.ndarray,  # (B, 1)
+    valid: jnp.ndarray,  # (G,) prompt lengths
+    first: jnp.ndarray,  # (G,) first decoded token per joiner
+):
+    """Scatter a whole join group's prefilled K/V rows + lengths + tokens into
+    their slots in ONE dispatch (join overhead is what decides whether
+    continuous batching beats window coalescing — measured in REPORT.md)."""
+    t_b = temp.k.shape[2]
+    k = cache.k.at[:, slots, :t_b].set(temp.k.astype(cache.k.dtype))
+    v = cache.v.at[:, slots, :t_b].set(temp.v.astype(cache.v.dtype))
+    lengths = lengths.at[slots].set(valid.astype(jnp.int32))
+    cur_tok = cur_tok.at[slots, 0].set(first.astype(jnp.int32))
+    return KVCache(k=k, v=v, length=cache.length), lengths, cur_tok
 
 
 class Request:
@@ -109,6 +116,7 @@ class Request:
         self.max_new_tokens = max_new_tokens
         self.tokens: List[int] = []
         self.done = False
+        self.error: Optional[Exception] = None
 
 
 class ContinuousBatcher:
@@ -154,12 +162,22 @@ class ContinuousBatcher:
         self.key = jax.random.PRNGKey(seed)
 
         s_len = self.prompt_budget + max_new_tokens + chunk
-        self.cache = gemma.init_cache(cfg.text_config, n_slots, s_len, cache_dtype)
-        self.lengths = jnp.zeros((n_slots,), jnp.int32)
-        self.cur_tok = jnp.zeros((n_slots, 1), jnp.int32)
+        # One extra "trash" row absorbs a join group's padding scatters (a
+        # group is padded to a bucketed batch so prefill/insert reuse ONE
+        # compiled shape each). The decode program carries the extra row;
+        # decode is weight-streaming-bound, so it is effectively free.
+        b = n_slots + 1
+        self.trash_row = n_slots
+        self.cache = gemma.init_cache(cfg.text_config, b, s_len, cache_dtype)
+        self.lengths = jnp.zeros((b,), jnp.int32)
+        self.cur_tok = jnp.zeros((b, 1), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * n_slots
         self.pending: deque = deque()
         self.completed: List[Request] = []
+        # Join groups whose first tokens are still on device: fetched at the
+        # next chunk boundary (a host fetch costs ~25 ms over the tunnel —
+        # never pay it per request).
+        self._pending_first: List = []
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -178,15 +196,26 @@ class ContinuousBatcher:
         req.done = True
         self.completed.append(req)
         self.slot_req[slot] = None
-        # Idle slots keep stepping inside the shared program; pin their length
-        # so scatter writes stay in-bounds until the slot is reused.
-        self.lengths = self.lengths.at[slot].set(0)
+        # No device work here (a dispatch costs 5-7 ms over the tunnel): the
+        # freed slot keeps stepping harmlessly — out-of-bounds scatter writes
+        # are dropped by JAX semantics, its attention output is discarded, and
+        # the next join's scatter resets its length and K/V rows.
 
-    def _join(self, slot: int, req: Request) -> None:
-        """Batch-1 bucketed prefill, then drop the K/V rows into the slot."""
+    def _join_group(self, joiners: List) -> None:
+        """One bucketed prefill + ONE scatter insert for a whole join group.
+
+        The group of G<=n_slots requests is padded to a bucketed batch size
+        (1 or n_slots — two compiled prefill shapes total); pad rows scatter
+        into the trash row. First tokens stay on device until the next chunk
+        boundary (``_pending_first``).
+        """
+        g = len(joiners)
+        g_b = 1 if g == 1 else self.n_slots
+        reqs = [r for _, r in joiners]
         ids, valid, pix, _ = serving.pad_batch(
-            self.processor, [req.prompt], [req.image],
-            prompt_bucket=self.prompt_budget,
+            self.processor,
+            [r.prompt for r in reqs], [r.image for r in reqs],
+            prompt_bucket=self.prompt_budget, batch_bucket=g_b,
         )
         if ids.shape[1] != self.prompt_budget:
             raise ValueError(
@@ -194,7 +223,7 @@ class ContinuousBatcher:
                 f"{self.prompt_budget}"
             )
         temp = gemma.init_cache(
-            self.cfg.text_config, 1, self.prompt_budget, self.cache_dtype
+            self.cfg.text_config, g_b, self.prompt_budget, self.cache_dtype
         )
         logits, temp = serving.batched_prefill(
             self.params, self.cfg, jnp.asarray(ids),
@@ -205,22 +234,40 @@ class ContinuousBatcher:
             first = sample_top_p(logits, sub, self.temperature, self.top_p)
         else:
             first = greedy(logits)
-        first_id = int(first[0])
 
-        self.cache = _insert_slot(self.cache, temp, jnp.int32(slot))
-        self.lengths = self.lengths.at[slot].set(int(valid[0]))
-        self.cur_tok = self.cur_tok.at[slot, 0].set(first_id)
-        self.slot_req[slot] = req
-        req.tokens.append(first_id)
-        if first_id == self.eos_token_id or req.max_new_tokens <= 1:
-            self._finish(slot)
+        slots = np.full((g_b,), self.trash_row, np.int32)
+        for i, (slot, req) in enumerate(joiners):
+            slots[i] = slot
+            self.slot_req[slot] = req
+        self.cache, self.lengths, self.cur_tok = _insert_group(
+            self.cache, temp, jnp.asarray(slots), self.lengths, self.cur_tok,
+            jnp.asarray(valid), first.astype(jnp.int32),
+        )
+        self._pending_first.append((joiners, first))
 
     # -- scheduling ----------------------------------------------------------
 
     def _fill_slots(self) -> None:
+        joiners = []
         for slot in range(self.n_slots):
             if self.slot_req[slot] is None and self.pending:
-                self._join(slot, self.pending.popleft())
+                joiners.append((slot, self.pending.popleft()))
+        if not joiners:
+            return
+        try:
+            self._join_group(joiners)
+        except Exception:
+            # One bad request (e.g. a prompt beyond prompt_budget) must not
+            # fail its groupmates or kill the engine loop: retry one by one.
+            for slot, req in joiners:
+                self.slot_req[slot] = None
+                try:
+                    self._join_group([(slot, req)])
+                except Exception as e:
+                    req.error = e
+                    req.done = True
+                    self.completed.append(req)
+                    self.slot_req[slot] = None
 
     def step(self) -> bool:
         """Join pending requests, run one decode chunk, evict finished slots.
@@ -236,6 +283,21 @@ class ContinuousBatcher:
             self.chunk, self.do_sample, float(self.temperature), float(self.top_p),
         )
         toks_np = np.asarray(toks)  # one host fetch per chunk
+
+        # Deferred first tokens (joined this gap): they precede the chunk's
+        # tokens in each request's sequence, so process them first. A slot
+        # whose first token already finished it (EOS / budget 1) is freed and
+        # its chunk tokens discarded.
+        for joiners, first in self._pending_first:
+            vals = np.asarray(first)
+            for (slot, req), val in zip(joiners, vals.tolist()):
+                if self.slot_req[slot] is not req:
+                    continue  # join failed and was retried elsewhere
+                req.tokens.append(int(val))
+                if int(val) == self.eos_token_id or req.max_new_tokens <= 1:
+                    self._finish(slot)
+        self._pending_first.clear()
+
         for slot in range(self.n_slots):
             req = self.slot_req[slot]
             if req is None:

@@ -1,0 +1,147 @@
+"""Pallas int4 weight-only matmul for the bandwidth-bound decode path.
+
+``jnp.int4`` is broken on this backend ("device: nullptr" — CLAUDE.md), so
+int4 weights are stored as two 4-bit values packed per int8 byte and unpacked
+*inside the kernel*: HBM traffic is the packed bytes (half of int8), the
+unpack happens in VMEM/registers, and the MXU consumes bf16 operands.
+
+Packing layout (block-local split-half, see ``pack_int4``): the output dim is
+tiled into blocks of ``block_o`` channels; within a block, packed byte column
+``c`` holds channel ``c`` in its low nibble and channel ``c + block_o/2`` in
+its high nibble. A kernel program therefore unpacks its block into two
+contiguous halves and issues two MXU dots — no lane interleaving, no
+concatenation, exact channel order preserved.
+
+Numerics: values in [-7, 7], per-output-channel fp32 scales applied to the
+fp32 matmul output (same contract as the int8 path in
+paligemma_tpu.quantization). Unpack int4 -> bf16 is exact.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform == "cpu"
+
+
+class Q4Tensor(NamedTuple):
+    """Packed int4 kernel: packed (..., in, out//2) int8, scale (..., 1, out)
+    fp32, block-local split-half layout with block size ``block_o`` (static,
+    carried by the caller — paligemma_tpu.quantization stores it)."""
+
+    packed: jnp.ndarray
+    scale: jnp.ndarray
+
+
+BLOCK_O = 512  # output channels per kernel program (VMEM: ~5 MB/program)
+
+
+def block_for(o: int) -> int:
+    """Deterministic block size for an output dim: BLOCK_O when it divides,
+    else the whole (even) dim as one block (tiny test geometries). Pack and
+    matmul derive it identically, so it never needs to be stored."""
+    assert o % 2 == 0, o
+    return BLOCK_O if o % BLOCK_O == 0 else o
+
+
+def pack_int4(q: jnp.ndarray, block_o: int = 0) -> jnp.ndarray:
+    """Pack int8 values in [-7, 7] (..., D, O) -> (..., D, O//2) int8.
+
+    Block-local split-half: within each block of ``block_o`` output channels,
+    channel c rides the low nibble of packed column c, channel c + block_o/2
+    the high nibble.
+    """
+    *lead, d, o = q.shape
+    block_o = block_o or block_for(o)
+    assert o % block_o == 0, (o, block_o)
+    half = block_o // 2
+    qb = q.reshape(*lead, d, o // block_o, block_o).astype(jnp.int32)
+    lo = qb[..., :half] & 15
+    hi = (qb[..., half:] & 15) << 4
+    packed = (lo | hi).astype(jnp.int8)
+    return packed.reshape(*lead, d, o // 2)
+
+
+def unpack_int4(packed: jnp.ndarray, block_o: int = 0) -> jnp.ndarray:
+    """Inverse of ``pack_int4`` (XLA reference path): (..., D, O//2) -> int8
+    values (..., D, O)."""
+    *lead, d, oh = packed.shape
+    block_o = block_o or block_for(oh * 2)
+    half = block_o // 2
+    pb = packed.reshape(*lead, d, oh // half, half).astype(jnp.int32)
+    lo = ((pb & 15) ^ 8) - 8
+    hi = (((pb >> 4) & 15) ^ 8) - 8
+    out = jnp.concatenate([lo, hi], axis=-1)  # (..., D, blocks, block_o)
+    return out.reshape(*lead, d, oh * 2).astype(jnp.int8)
+
+
+def _q4_kernel(x_ref, p_ref, s_ref, o_ref, *, half):
+    """One out-block: unpack (D, half) packed bytes into two bf16 halves and
+    issue two MXU dots; per-channel scales applied to the fp32 outputs."""
+    x = x_ref[...]  # (T, D) bf16/f32
+    p = p_ref[...].astype(jnp.int32)  # (D, half)
+    lo = (((p & 15) ^ 8) - 8).astype(x.dtype)
+    hi = ((((p >> 4) & 15) ^ 8) - 8).astype(x.dtype)
+    y_lo = jax.lax.dot_general(
+        x, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    y_hi = jax.lax.dot_general(
+        x, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s_ref[...]  # (1, 2 * half) fp32
+    o_ref[:, :half] = (y_lo * s[:, :half]).astype(o_ref.dtype)
+    o_ref[:, half:] = (y_hi * s[:, half:]).astype(o_ref.dtype)
+
+
+def q4_matmul(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    block_o: int = 0,
+) -> jnp.ndarray:
+    """x (B, T, D) @ int4-packed (D, O//2) -> (B, T, O) in x.dtype.
+
+    Streams only the packed bytes from HBM; unpack + two dots per out-block.
+    """
+    b, t, d = x.shape
+    oh = packed.shape[-1]
+    o = oh * 2
+    block_o = block_o or block_for(o)
+    assert o % block_o == 0
+    half = block_o // 2
+    x2 = x.reshape(b * t, d)
+
+    out = pl.pallas_call(
+        functools.partial(_q4_kernel, half=half),
+        grid=(o // block_o,),
+        in_specs=[
+            pl.BlockSpec((b * t, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, half), lambda i: (0, i)),
+            pl.BlockSpec((1, block_o), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((b * t, block_o), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * t, o), x.dtype),
+        interpret=_interpret(),
+    )(x2, packed, scale.reshape(1, o).astype(jnp.float32))
+
+    return out.reshape(b, t, o)
+
+
+def q4_matmul_xla(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    block_o: int = 0,
+) -> jnp.ndarray:
+    """XLA reference path: unpack to int8 then einsum (materializes the
+    unpacked tensor — measured against the kernel in REPORT.md)."""
+    w = unpack_int4(packed, block_o).astype(x.dtype)
+    y = jnp.einsum("btd,de->bte", x, w, preferred_element_type=jnp.float32)
+    return (y * scale.reshape(1, 1, -1)).astype(x.dtype)

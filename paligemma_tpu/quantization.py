@@ -56,6 +56,23 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
     return (qt.q.astype(jnp.float32) * qt.scale).astype(dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("axis",))
+def quantize_tensor_int4(w: jnp.ndarray, axis: int):
+    """Symmetric int4 (values in [-7, 7]) with per-output-channel fp32
+    scales, packed two values per int8 byte (ops.pallas_quant layout).
+
+    ``jnp.int4`` is broken on this backend, so packing is manual; the decode
+    matmul unpacks inside a Pallas kernel (HBM streams the packed bytes).
+    """
+    from paligemma_tpu.ops.pallas_quant import Q4Tensor, pack_int4
+
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    return Q4Tensor(packed=pack_int4(q), scale=scale)
+
+
 def qproj(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     """x (B, T, in) @ QTensor (in, out) with output-channel rescale."""
     y = jnp.einsum(
@@ -64,7 +81,9 @@ def qproj(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     return (y * qt.scale.reshape(1, 1, -1)).astype(x.dtype)
 
 
-def quantize_params(params: Dict[str, Any], llm_only: bool = True) -> Dict[str, Any]:
+def quantize_params(
+    params: Dict[str, Any], llm_only: bool = True, mode: str = "int8"
+) -> Dict[str, Any]:
     """Quantize the large kernels of a PaliGemma param pytree
     (returns a new tree; small tensors — norms, biases, position embeddings —
     stay in their original dtype).
@@ -74,14 +93,21 @@ def quantize_params(params: Dict[str, Any], llm_only: bool = True) -> Dict[str, 
     in compute-bound prefill where int8 dequant overhead actually *slows*
     prefill (measured: 58 ms int8-everything vs 39 ms bf16 vision), so it
     stays bf16 unless ``llm_only=False``.
+
+    ``mode="int4"`` packs the decoder layer kernels to 4 bits (two values per
+    int8 byte, unpacked inside a Pallas kernel — ops.pallas_quant); the
+    embedding/lm_head stays int8 (row lookups need unpacked rows). int4 is an
+    experiment arm: lower fidelity than int8, measured in REPORT.md.
     """
+    assert mode in ("int8", "int4"), mode
     out = jax.tree.map(lambda x: x, params)  # shallow-ish copy
 
     # --- decoder ---
     llm = dict(out["llm"])
     layers = dict(llm["layers"])
+    qfn = quantize_tensor if mode == "int8" else quantize_tensor_int4
     for name in ("qkv", "o", "gate_up", "down"):
-        layers[name] = quantize_tensor(layers[name], axis=1)  # (L, in, out): reduce in
+        layers[name] = qfn(layers[name], axis=1)  # (L, in, out): reduce in
     llm["layers"] = layers
     # Per-row (V, 1) scales serve both the embedding lookup and the tied
     # lm_head; reuse the jitted kernel with axis=1.

@@ -233,6 +233,107 @@ class Batcher:
                 slot["event"].set()
 
 
+class ContinuousRunner:
+    """Slot-level continuous batching behind /generate.
+
+    Unlike ``Batcher`` (which coalesces a window, then runs the whole batch to
+    its last EOS — mixed-length traffic convoys behind the longest request),
+    this keeps ``paligemma_tpu.continuous.ContinuousBatcher``'s decode slots
+    permanently hot: a request joins between decode chunks the moment a slot
+    frees up and leaves on its own EOS. Greedy requests only (per-slot
+    sampling params would be another compiled program per combination);
+    sampled requests fall back to the single-stream engine path.
+
+    Exposes the same blocking ``submit(request) -> dict`` surface as Batcher.
+    """
+
+    def __init__(self, engine: Engine, n_slots: int = 4, chunk: int = 8,
+                 max_new_cap: int = 256, prompt_extra: int = 64):
+        from paligemma_tpu.continuous import ContinuousBatcher
+
+        self.engine = engine
+        n_img = engine.cfg.vision_config.num_image_tokens
+        self.max_new_cap = max_new_cap
+        self.batcher = ContinuousBatcher(
+            engine.params, engine.cfg, engine.processor,
+            n_slots=n_slots, chunk=chunk,
+            prompt_budget=n_img + prompt_extra,
+            max_new_tokens=max_new_cap,
+            cache_dtype=engine._act_dtype(),
+        )
+        self.queue: "queue.Queue" = queue.Queue()
+        self.waiters = {}  # continuous Request.id -> handler slot dict
+        self._emitted = 0  # index into batcher.completed already delivered
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, request: dict) -> dict:
+        if request.get("do_sample") and request.get("temperature", 0) > 0:
+            # Sampling params are static per compiled program; route sampled
+            # requests through the single-stream path (engine takes its own
+            # lock, interleaving with the runner between decode chunks).
+            return self.engine.generate(
+                request["prompt"], request["image"], request["max_tokens"],
+                request["temperature"], request["top_p"], request["do_sample"],
+            )
+        done = threading.Event()
+        slot = {"request": request, "event": done, "result": None}
+        self.queue.put(slot)
+        done.wait()
+        if isinstance(slot["result"], Exception):
+            raise slot["result"]
+        return slot["result"]
+
+    def _loop(self):
+        while True:
+            # Block when idle; otherwise just drain whatever arrived while
+            # the last chunk was decoding.
+            idle = (
+                not any(r is not None for r in self.batcher.slot_req)
+                and not self.batcher.pending
+            )
+            items = [self.queue.get()] if idle else []
+            while True:
+                try:
+                    items.append(self.queue.get_nowait())
+                except queue.Empty:
+                    break
+            for slot in items:
+                req = slot["request"]
+                try:
+                    creq = self.batcher.submit(
+                        req["prompt"], req["image"],
+                        min(req["max_tokens"], self.max_new_cap),
+                    )
+                    self.waiters[creq.id] = slot
+                except Exception as e:
+                    slot["result"] = e
+                    slot["event"].set()
+
+            with self.engine.lock:
+                active = sum(r is not None for r in self.batcher.slot_req)
+                self.batcher.step()
+            # Deliver newly completed requests.
+            comp = self.batcher.completed
+            while self._emitted < len(comp):
+                creq = comp[self._emitted]
+                self._emitted += 1
+                slot = self.waiters.pop(creq.id, None)
+                if slot is None:
+                    continue
+                if creq.error is not None:
+                    slot["result"] = creq.error
+                else:
+                    text = self.batcher.decode_text(creq)
+                    slot["result"] = {
+                        "text": slot["request"]["prompt"] + text,
+                        "tokens": creq.tokens,
+                        "num_tokens": len(creq.tokens),
+                        "continuous": True,
+                        "batched_with": active,
+                    }
+                slot["event"].set()
+
+
 # Self-contained browser UI (the reference ships a Streamlit app, app.py;
 # this needs no extra dependency — upload an image, stream the answer).
 INDEX_HTML = """<!doctype html>
@@ -399,6 +500,14 @@ def main(argv=None):
                    help=">0: coalesce concurrent /generate requests into one "
                         "padded batch within this window")
     p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--continuous", action="store_true",
+                   help="slot-level continuous batching: requests join the "
+                        "running decode between chunks and leave on EOS "
+                        "(greedy requests; sampled ones run single-stream)")
+    p.add_argument("--n_slots", type=int, default=4)
+    p.add_argument("--max_new_cap", type=int, default=256,
+                   help="continuous mode: per-slot token budget (cache is "
+                        "sized statically for it)")
     args = p.parse_args(argv)
 
     if args.only_cpu:
@@ -421,12 +530,30 @@ def main(argv=None):
     except Exception as e:  # pragma: no cover
         print(f"warm-up failed: {e!r}", file=sys.stderr, flush=True)
 
-    batcher = (
-        Batcher(engine, args.batch_window_ms, args.max_batch)
-        if args.batch_window_ms > 0
-        else None
-    )
-    if batcher is not None:
+    if args.continuous:
+        batcher = ContinuousRunner(
+            engine, n_slots=args.n_slots, max_new_cap=args.max_new_cap
+        )
+        # Warm the slot programs (bucketed prefill + slot decode + insert).
+        try:
+            from PIL import Image
+
+            size = engine.cfg.vision_config.image_size
+            batcher.submit({
+                "prompt": "warmup", "image": Image.new("RGB", (size, size)),
+                "max_tokens": 8, "temperature": 0.0, "top_p": 0.9,
+                "do_sample": False,
+            })
+            print("continuous warm-up complete", file=sys.stderr, flush=True)
+        except Exception as e:  # pragma: no cover
+            print(f"continuous warm-up failed: {e!r}", file=sys.stderr, flush=True)
+    else:
+        batcher = (
+            Batcher(engine, args.batch_window_ms, args.max_batch)
+            if args.batch_window_ms > 0
+            else None
+        )
+    if batcher is not None and not args.continuous:
         # Warm the batched shapes too (bucketed prompt length + batch size)
         # so the first coalesced group doesn't stall on a multi-minute
         # remote compile.

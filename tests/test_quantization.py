@@ -86,3 +86,86 @@ def test_bf16_serving_dtype_argmax_agreement(params, cfg, sample_inputs):
     bf = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     out = paligemma.forward_nocache(bf, cfg, ids, pix.astype(jnp.bfloat16))
     assert int(jnp.argmax(ref[0, -1])) == int(jnp.argmax(out[0, -1]))
+
+
+# ---------------------------------------------------------------------------
+# int4 (packed) weight-only path
+# ---------------------------------------------------------------------------
+
+
+def test_int4_pack_unpack_roundtrip():
+    from paligemma_tpu.ops.pallas_quant import pack_int4, unpack_int4
+
+    rng = np.random.RandomState(0)
+    q = rng.randint(-7, 8, (3, 64, 1024)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(q))
+    assert packed.shape == (3, 64, 512) and packed.dtype == jnp.int8
+    back = unpack_int4(packed)
+    np.testing.assert_array_equal(np.asarray(back), q)
+
+
+def test_q4_matmul_matches_xla_and_dequant():
+    from paligemma_tpu.ops.pallas_quant import (
+        pack_int4, q4_matmul, q4_matmul_xla,
+    )
+
+    rng = np.random.RandomState(1)
+    d, o, bt = 64, 1024, 2
+    q = rng.randint(-7, 8, (d, o)).astype(np.int8)
+    scale = (rng.rand(1, o).astype(np.float32) + 0.5) * 0.01
+    x = jnp.asarray(rng.randn(1, bt, d).astype(np.float32))
+    packed = pack_int4(jnp.asarray(q))
+
+    ref = jnp.einsum("btd,de->bte", x, jnp.asarray(q, jnp.float32)) * scale[None]
+    out_k = q4_matmul(x, packed, jnp.asarray(scale))
+    out_x = q4_matmul_xla(x, packed, jnp.asarray(scale))
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_int4_model_forward_close(params, cfg, sample_inputs):
+    """Two bars: (a) the in-kernel unpack path must match a dense
+    dequantized-weights forward almost exactly (kernel correctness); (b) the
+    int4 model stays distributionally close to fp32 (quantization quality —
+    loose on the tiny 32-dim-contraction geometry; int4 is the measured
+    experiment arm, not the headline serving config)."""
+    ids, pix = sample_inputs
+    ref = paligemma.forward_nocache(params, cfg, ids, pix)
+    qp = quantize_params(params, mode="int4")
+    from paligemma_tpu.ops.pallas_quant import Q4Tensor, unpack_int4
+    from paligemma_tpu.quantization import dequantize
+
+    assert isinstance(qp["llm"]["layers"]["qkv"], Q4Tensor)
+    assert qp["llm"]["layers"]["qkv"].packed.dtype == jnp.int8
+    out = paligemma.forward_nocache(qp, cfg, ids, pix)
+
+    # (a) dequant oracle: same int4 values as dense fp32 weights.
+    dq = jax.tree.map(lambda x: x, params)
+    layers = dict(dq["llm"]["layers"])
+    for name in ("qkv", "o", "gate_up", "down"):
+        qt = qp["llm"]["layers"][name]
+        layers[name] = unpack_int4(qt.packed).astype(jnp.float32) * qt.scale
+    llm = dict(dq["llm"])
+    llm["layers"] = layers
+    llm["embed"] = dequantize(qp["llm"]["embed"], jnp.bfloat16).astype(jnp.float32)
+    dq["llm"] = llm
+    oracle = paligemma.forward_nocache(dq, cfg, ids, pix)
+    out_l = np.asarray(out[0, -1]).astype(np.float64)
+    ora_l = np.asarray(oracle[0, -1]).astype(np.float64)
+    cos_k = np.dot(out_l, ora_l) / (np.linalg.norm(out_l) * np.linalg.norm(ora_l))
+    assert cos_k > 0.9995, cos_k
+
+    # (b) quantization quality vs fp32.
+    ref_l = np.asarray(ref[0, -1]).astype(np.float64)
+    cos = np.dot(ref_l, out_l) / (np.linalg.norm(ref_l) * np.linalg.norm(out_l))
+    assert cos > 0.98, cos
+
+
+def test_int4_generation_runs(params, cfg, sample_inputs):
+    ids, pix = sample_inputs
+    qp = quantize_params(params, mode="int4")
+    toks, _ = generation.generate(
+        qp, cfg, ids, pix, 4, eos_token_id=-1,
+        cache_dtype=jnp.float32, stop_at_eos=False,
+    )
+    assert len(toks) == 4

@@ -107,3 +107,64 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/nope", {})
     assert e.value.code == 404
+
+
+@pytest.fixture(scope="module")
+def continuous_server():
+    port = 8957
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "server.py", "--demo", "--only_cpu",
+         "--port", str(port), "--continuous", "--n_slots", "2",
+         "--max_new_cap", "32"],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(base + "/healthz", timeout=5)
+            break
+        except (urllib.error.URLError, socket.timeout, ConnectionError):
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stderr.read().decode()[-2000:])
+            time.sleep(2)
+    else:
+        proc.kill()
+        raise TimeoutError("continuous server did not come up")
+    yield base
+    proc.kill()
+
+
+def test_continuous_concurrent_mixed_lengths(continuous_server):
+    """Concurrent requests with different max_tokens join the running decode
+    and each gets its own complete greedy answer (identical to what the same
+    prompt yields when sent alone)."""
+    base = continuous_server
+    results = {}
+
+    def worker(i, max_tokens):
+        body = {"prompt": f"describe item {i}", "image_b64": _b64img(i),
+                "max_tokens": max_tokens}
+        with _post(base, "/generate", body) as r:
+            results[i] = json.loads(r.read())
+
+    threads = [threading.Thread(target=worker, args=(i, mt))
+               for i, mt in enumerate([6, 14, 10])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert set(results) == {0, 1, 2}
+    for i, mt in enumerate([6, 14, 10]):
+        assert results[i]["continuous"] is True
+        assert 1 <= results[i]["num_tokens"] <= mt
+
+    # Output identity vs single-stream: re-send request 1 alone.
+    with _post(base, "/generate",
+               {"prompt": "describe item 1", "image_b64": _b64img(1),
+                "max_tokens": 14}) as r:
+        solo = json.loads(r.read())
+    assert solo["tokens"] == results[1]["tokens"]
