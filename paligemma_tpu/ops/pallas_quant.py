@@ -82,11 +82,22 @@ def unpack_int4(packed: jnp.ndarray, block_o: int = 0) -> jnp.ndarray:
     return out.reshape(*lead, d, oh * 2).astype(jnp.int8)
 
 
-def _q4_kernel(x_ref, p_ref, s_ref, o_ref, *, half):
-    """One out-block: unpack (D, half) packed bytes into two bf16 halves and
-    issue two MXU dots; per-channel scales applied to the fp32 outputs."""
-    x = x_ref[...]  # (T, D) bf16/f32
-    p = p_ref[...].astype(jnp.int32)  # (D, half)
+def _q4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, half):
+    """One (out-block, d-block) step: unpack (block_d, half) packed bytes
+    into two bf16 halves, two MXU dots, fp32 accumulation across d-blocks
+    (the contraction is tiled so prefill-sized x blocks fit VMEM).
+
+    Scales arrive as (2, half) — lo-half scales in row 0, hi in row 1 —
+    because a lane-offset slice of a (1, 2*half) vector is an invalid layout
+    for Mosaic's broadcast (sublane slices are fine)."""
+    db = pl.program_id(1)
+
+    @pl.when(db == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]  # (T, block_d) bf16/f32
+    p = p_ref[...].astype(jnp.int32)  # (block_d, half)
     lo = (((p & 15) ^ 8) - 8).astype(x.dtype)
     hi = ((((p >> 4) & 15) ^ 8) - 8).astype(x.dtype)
     y_lo = jax.lax.dot_general(
@@ -95,9 +106,13 @@ def _q4_kernel(x_ref, p_ref, s_ref, o_ref, *, half):
     y_hi = jax.lax.dot_general(
         x, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s_ref[...]  # (1, 2 * half) fp32
-    o_ref[:, :half] = (y_lo * s[:, :half]).astype(o_ref.dtype)
-    o_ref[:, half:] = (y_hi * s[:, half:]).astype(o_ref.dtype)
+    acc_ref[:, :half] += y_lo
+    acc_ref[:, half:] += y_hi
+
+    @pl.when(db == pl.num_programs(1) - 1)
+    def _finalize():
+        o_ref[:, :half] = (acc_ref[:, :half] * s_ref[0:1, :]).astype(o_ref.dtype)
+        o_ref[:, half:] = (acc_ref[:, half:] * s_ref[1:2, :]).astype(o_ref.dtype)
 
 
 def q4_matmul(
@@ -116,20 +131,30 @@ def q4_matmul(
     block_o = block_o or block_for(o)
     assert o % block_o == 0
     half = block_o // 2
+    block_d = 2048 if d % 2048 == 0 else d
     x2 = x.reshape(b * t, d)
+    # Scales regrouped to (2, O/2): row 0 = every block's lo-half channels,
+    # row 1 = hi-half — so a block's scales are a clean (2, half) tile.
+    s2 = (
+        scale.reshape(o // block_o, 2, half)
+        .transpose(1, 0, 2)
+        .reshape(2, o // 2)
+        .astype(jnp.float32)
+    )
 
     out = pl.pallas_call(
         functools.partial(_q4_kernel, half=half),
-        grid=(o // block_o,),
+        grid=(o // block_o, d // block_d),
         in_specs=[
-            pl.BlockSpec((b * t, d), lambda i: (0, 0)),
-            pl.BlockSpec((d, half), lambda i: (0, i)),
-            pl.BlockSpec((1, block_o), lambda i: (0, i)),
+            pl.BlockSpec((b * t, block_d), lambda i, j: (0, j)),
+            pl.BlockSpec((block_d, half), lambda i, j: (j, i)),
+            pl.BlockSpec((2, half), lambda i, j: (0, i)),
         ],
-        out_specs=pl.BlockSpec((b * t, block_o), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((b * t, block_o), lambda i, j: (0, i)),
         out_shape=jax.ShapeDtypeStruct((b * t, o), x.dtype),
+        scratch_shapes=[pltpu.VMEM((b * t, block_o), jnp.float32)],
         interpret=_interpret(),
-    )(x2, packed, scale.reshape(1, o).astype(jnp.float32))
+    )(x2, packed, s2)
 
     return out.reshape(b, t, o)
 

@@ -47,6 +47,49 @@ def load_safetensors_shards(model_path: str) -> Dict[str, np.ndarray]:
     return flat
 
 
+class LazyShardDict:
+    """Dict-like view over *.safetensors shards that reads tensors on demand.
+
+    The host-offload analog of the reference's accelerate
+    ``load_checkpoint_and_dispatch`` + disk offload (reference: utils.py:19-38):
+    instead of materializing the whole checkpoint in host RAM, each tensor is
+    read from disk when the mapper touches it and freed as soon as the mapped
+    leaf lands on device. Peak host memory drops from the full checkpoint to
+    the largest single parameter group.
+    """
+
+    def __init__(self, model_path: str, rename: Optional[Dict[str, str]] = None):
+        from safetensors import safe_open
+
+        self._safe_open = safe_open
+        files = sorted(Path(model_path).glob("*.safetensors"))
+        if not files:
+            raise FileNotFoundError(f"no .safetensors shards under {model_path}")
+        self._where: Dict[str, Tuple[str, str]] = {}
+        for f in files:
+            with safe_open(str(f), framework="np") as reader:
+                for key in reader.keys():
+                    self._where[key] = (str(f), key)
+        if rename:
+            self._where = {
+                rename.get(k, k): v for k, v in self._where.items()
+            }
+
+    def keys(self):
+        return self._where.keys()
+
+    def __iter__(self):
+        return iter(self._where)
+
+    def __contains__(self, key) -> bool:
+        return key in self._where
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        path, orig = self._where[key]
+        with self._safe_open(path, framework="np") as reader:
+            return reader.get_tensor(orig)
+
+
 def _stack(flat: Dict[str, np.ndarray], template: str, num_layers: int) -> np.ndarray:
     return np.stack([flat[template.format(i=i)] for i in range(num_layers)], axis=0)
 
@@ -62,66 +105,89 @@ def _stack_linear(flat, template, num_layers) -> np.ndarray:
     )
 
 
-def normalize_hf_keys(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Normalize checkpoint key layouts to the hub format this loader targets.
+def hf_key_map(keys) -> Dict[str, str]:
+    """old-key -> normalized-key mapping to the hub layout this loader targets.
 
     google/paligemma-3b-pt-224 (and transformers<=4.51 save_pretrained) use
     ``language_model.model.layers...`` / ``vision_tower...``; transformers'
     refactored models may save ``model.language_model.layers...``. Remap the
-    latter to the former.
+    latter to the former. Empty mapping when already normalized.
     """
-    if "language_model.model.embed_tokens.weight" in flat:
-        return flat
-    if not any(k.startswith("model.") for k in flat):
-        return flat
+    keys = list(keys)
+    if "language_model.model.embed_tokens.weight" in keys:
+        return {}
+    if not any(k.startswith("model.") for k in keys):
+        return {}
     out = {}
-    for k, v in flat.items():
+    for k in keys:
         if k.startswith("model.language_model."):
-            out["language_model.model." + k[len("model.language_model."):]] = v
+            out[k] = "language_model.model." + k[len("model.language_model."):]
         elif k.startswith("model."):
-            out[k[len("model."):]] = v
+            out[k] = k[len("model."):]
         elif k == "lm_head.weight":
-            out["language_model.lm_head.weight"] = v
-        else:
-            out[k] = v
+            out[k] = "language_model.lm_head.weight"
     return out
+
+
+def normalize_hf_keys(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Apply ``hf_key_map`` to a materialized flat dict."""
+    kmap = hf_key_map(flat.keys())
+    if not kmap:
+        return flat
+    return {kmap.get(k, k): v for k, v in flat.items()}
 
 
 def hf_to_params(
     flat: Dict[str, np.ndarray],
     cfg: PaliGemmaConfig,
     dtype: jnp.dtype = jnp.bfloat16,
+    stream_to_device: bool = False,
 ) -> Dict[str, Any]:
-    """Map a flat HF PaliGemma state dict to our parameter pytree."""
-    flat = normalize_hf_keys(flat)
+    """Map a flat HF PaliGemma state dict to our parameter pytree.
+
+    ``stream_to_device=True`` converts + device-puts each leaf as it is
+    built (pair with ``LazyShardDict`` to bound peak host memory by the
+    largest parameter group instead of the whole checkpoint — the
+    host-offload analog of reference utils.py:19-38).
+    """
+    if not isinstance(flat, LazyShardDict):
+        flat = normalize_hf_keys(flat)
+    if stream_to_device:
+        import jax
+
+        def lf(x):
+            return jax.device_put(jnp.asarray(x, dtype))
+    else:
+        def lf(x):
+            return x
     vcfg, tcfg = cfg.vision_config, cfg.text_config
     vl, tl = vcfg.num_hidden_layers, tcfg.num_hidden_layers
 
     vp = "vision_tower.vision_model"
     conv_w = flat[f"{vp}.embeddings.patch_embedding.weight"]  # (D, C, P, P)
     d = conv_w.shape[0]
-    patch_kernel = conv_w.reshape(d, -1).T  # (C*P*P, D)
+    patch_kernel = lf(conv_w.reshape(d, -1).T)  # (C*P*P, D)
 
     def vattn(name):
         return {
-            "kernel": _stack_linear(
+            "kernel": lf(_stack_linear(
                 flat, f"{vp}.encoder.layers.{{i}}.self_attn.{name}_proj.weight", vl
-            ),
-            "bias": _stack(
+            )),
+            "bias": lf(_stack(
                 flat, f"{vp}.encoder.layers.{{i}}.self_attn.{name}_proj.bias", vl
-            ),
+            )),
         }
 
     vision = {
         "patch_embedding": {
             "kernel": patch_kernel,
-            "bias": flat[f"{vp}.embeddings.patch_embedding.bias"],
+            "bias": lf(flat[f"{vp}.embeddings.patch_embedding.bias"]),
         },
-        "position_embedding": flat[f"{vp}.embeddings.position_embedding.weight"],
+        "position_embedding": lf(flat[f"{vp}.embeddings.position_embedding.weight"]),
         "layers": {
             "ln1": {
-                "scale": _stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm1.weight", vl),
-                "bias": _stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm1.bias", vl),
+                "scale": lf(_stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm1.weight", vl)),
+                "bias": lf(_stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm1.bias", vl)),
             },
             "attn": {
                 "q": vattn("q"),
@@ -130,27 +196,27 @@ def hf_to_params(
                 "o": vattn("out"),
             },
             "ln2": {
-                "scale": _stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm2.weight", vl),
-                "bias": _stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm2.bias", vl),
+                "scale": lf(_stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm2.weight", vl)),
+                "bias": lf(_stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm2.bias", vl)),
             },
             "mlp": {
                 "fc1": {
-                    "kernel": _stack_linear(
+                    "kernel": lf(_stack_linear(
                         flat, f"{vp}.encoder.layers.{{i}}.mlp.fc1.weight", vl
-                    ),
-                    "bias": _stack(flat, f"{vp}.encoder.layers.{{i}}.mlp.fc1.bias", vl),
+                    )),
+                    "bias": lf(_stack(flat, f"{vp}.encoder.layers.{{i}}.mlp.fc1.bias", vl)),
                 },
                 "fc2": {
-                    "kernel": _stack_linear(
+                    "kernel": lf(_stack_linear(
                         flat, f"{vp}.encoder.layers.{{i}}.mlp.fc2.weight", vl
-                    ),
-                    "bias": _stack(flat, f"{vp}.encoder.layers.{{i}}.mlp.fc2.bias", vl),
+                    )),
+                    "bias": lf(_stack(flat, f"{vp}.encoder.layers.{{i}}.mlp.fc2.bias", vl)),
                 },
             },
         },
         "post_layernorm": {
-            "scale": flat[f"{vp}.post_layernorm.weight"],
-            "bias": flat[f"{vp}.post_layernorm.bias"],
+            "scale": lf(flat[f"{vp}.post_layernorm.weight"]),
+            "bias": lf(flat[f"{vp}.post_layernorm.bias"]),
         },
     }
 
@@ -158,43 +224,46 @@ def hf_to_params(
     # q/k/v and gate/up are fused on load: concatenated along the output dim
     # into single (L, D, .) kernels so decode streams one weight per GEMM
     # (bitwise-identical math — see models/gemma.py module docstring).
-    qkv = np.concatenate(
+    qkv = lf(np.concatenate(
         [
             _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.{n}_proj.weight", tl)
             for n in ("q", "k", "v")
         ],
         axis=2,
-    )
-    gate_up = np.concatenate(
+    ))
+    gate_up = lf(np.concatenate(
         [
             _stack_linear(flat, f"{lp}.layers.{{i}}.mlp.{n}_proj.weight", tl)
             for n in ("gate", "up")
         ],
         axis=2,
-    )
+    ))
     llm = {
-        "embed": flat[f"{lp}.embed_tokens.weight"],
+        "embed": lf(flat[f"{lp}.embed_tokens.weight"]),
         "layers": {
-            "input_ln": _stack(flat, f"{lp}.layers.{{i}}.input_layernorm.weight", tl),
+            "input_ln": lf(_stack(flat, f"{lp}.layers.{{i}}.input_layernorm.weight", tl)),
             "qkv": qkv,
-            "o": _stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.o_proj.weight", tl),
-            "post_ln": _stack(
+            "o": lf(_stack_linear(flat, f"{lp}.layers.{{i}}.self_attn.o_proj.weight", tl)),
+            "post_ln": lf(_stack(
                 flat, f"{lp}.layers.{{i}}.post_attention_layernorm.weight", tl
-            ),
+            )),
             "gate_up": gate_up,
-            "down": _stack_linear(flat, f"{lp}.layers.{{i}}.mlp.down_proj.weight", tl),
+            "down": lf(_stack_linear(flat, f"{lp}.layers.{{i}}.mlp.down_proj.weight", tl)),
         },
-        "final_norm": flat[f"{lp}.norm.weight"],
+        "final_norm": lf(flat[f"{lp}.norm.weight"]),
     }
 
     params = {
         "vision": vision,
         "projector": {
-            "kernel": _linear(flat["multi_modal_projector.linear.weight"]),
-            "bias": flat["multi_modal_projector.linear.bias"],
+            "kernel": lf(_linear(flat["multi_modal_projector.linear.weight"])),
+            "bias": lf(flat["multi_modal_projector.linear.bias"]),
         },
         "llm": llm,
     }
+
+    if stream_to_device:
+        return params  # every leaf is already a device array in ``dtype``
 
     import jax
 
@@ -202,15 +271,27 @@ def hf_to_params(
 
 
 def load_model(
-    model_path: str, dtype: jnp.dtype = jnp.bfloat16
+    model_path: str,
+    dtype: jnp.dtype = jnp.bfloat16,
+    streaming: bool = False,
 ) -> Tuple[Dict[str, Any], PaliGemmaConfig]:
     """Full load: config.json + safetensors shards -> (params, config).
 
     The analog of ``load_hf_model`` (reference: utils.py:6-46) minus the
     tokenizer (pass an HF ``AutoTokenizer`` into ``PaliGemmaProcessor``
     yourself when its assets are available).
+
+    ``streaming=True`` is the host-offload analog of the reference's
+    accelerate ``device_map="auto"`` + disk offload (utils.py:19-38): tensors
+    are read from disk on demand and each parameter lands on device as it is
+    built, so peak host memory is bounded by the largest parameter group —
+    not the whole (e.g. 13 GB fp32) checkpoint.
     """
     cfg = PaliGemmaConfig.from_json(os.path.join(model_path, "config.json"))
+    if streaming:
+        probe = LazyShardDict(model_path)
+        flat = LazyShardDict(model_path, rename=hf_key_map(probe.keys()))
+        return hf_to_params(flat, cfg, dtype, stream_to_device=True), cfg
     flat = load_safetensors_shards(model_path)
     return hf_to_params(flat, cfg, dtype), cfg
 

@@ -145,3 +145,35 @@ def test_new_style_key_normalization(hf_setup, tmp_path):
         __import__("jax").tree.leaves(params), __import__("jax").tree.leaves(params2)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streaming_load_matches_regular(tmp_path):
+    """streaming=True (disk-on-demand + per-leaf device_put — the
+    host-offload analog of reference utils.py:19-38) must produce the exact
+    same pytree as the regular full-materialization load."""
+    from transformers import (
+        PaliGemmaConfig as HFPaliGemmaConfig,
+        PaliGemmaForConditionalGeneration,
+    )
+
+    geo = GEOMETRIES["tiny"]
+    hf_cfg = HFPaliGemmaConfig(
+        vision_config=dict(projection_dim=geo["projection_dim"], **geo["vision"]),
+        text_config=dict(max_position_embeddings=512, **geo["text"]),
+        image_token_index=geo["text"]["vocab_size"] - 4,
+        pad_token_id=0,
+        projection_dim=geo["projection_dim"],
+        hidden_size=geo["text"]["hidden_size"],
+    )
+    torch.manual_seed(1)
+    model = PaliGemmaForConditionalGeneration(hf_cfg).eval()
+    model.save_pretrained(str(tmp_path), safe_serialization=True)
+
+    regular, cfg_a = load_model(str(tmp_path), dtype=jnp.float32)
+    streamed, cfg_b = load_model(str(tmp_path), dtype=jnp.float32, streaming=True)
+    assert cfg_a == cfg_b
+    flat_a = jax.tree_util.tree_leaves_with_path(regular)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(streamed))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]))
