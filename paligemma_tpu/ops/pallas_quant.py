@@ -98,8 +98,10 @@ def _q4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, half):
 
     x = x_ref[...]  # (T, block_d) bf16/f32
     p = p_ref[...].astype(jnp.int32)  # (block_d, half)
-    lo = (((p & 15) ^ 8) - 8).astype(x.dtype)
-    hi = ((((p >> 4) & 15) ^ 8) - 8).astype(x.dtype)
+    # Shift-based sign extension: 2 ops per nibble (the VPU unpack chain is
+    # the kernel's bottleneck — ~8 ops/byte over ~1 GB/token, REPORT.md).
+    lo = ((p << 28) >> 28).astype(x.dtype)
+    hi = ((p << 24) >> 28).astype(x.dtype)
     y_lo = jax.lax.dot_general(
         x, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
