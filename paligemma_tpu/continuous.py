@@ -36,30 +36,27 @@ from paligemma_tpu import serving
 from paligemma_tpu.config import PaliGemmaConfig
 from paligemma_tpu.models import gemma
 from paligemma_tpu.models.gemma import KVCache
-from paligemma_tpu.ops.sampling import greedy, sample_top_p
+from paligemma_tpu.ops.sampling import sample_rows
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "n_steps", "do_sample", "temperature", "top_p"),
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def slot_decode_steps(
     params,
     cfg: PaliGemmaConfig,
     token: jnp.ndarray,  # (B, 1) current token per slot
     cache: KVCache,
     lengths: jnp.ndarray,  # (B,) per-slot sequence length
+    temps: jnp.ndarray,  # (B,) per-slot temperature; <= 0 -> greedy
+    topps: jnp.ndarray,  # (B,) per-slot nucleus p
     key: jax.Array,
     n_steps: int,
-    do_sample: bool = False,
-    temperature: float = 0.0,
-    top_p: float = 0.9,
 ):
     """``n_steps`` decode steps for all slots as ONE compiled program.
 
     Every slot advances by n_steps; per-slot positions/writes/visibility are
-    driven by ``lengths``. Returns (tokens (B, n_steps), last token (B, 1),
-    cache, lengths + n_steps).
+    driven by ``lengths``; per-slot sampling params are traced (B,) arrays so
+    mixed greedy/sampled requests share the one program. Returns (tokens
+    (B, n_steps), last token (B, 1), cache, lengths + n_steps).
     """
 
     def body(carry, step_key):
@@ -71,10 +68,7 @@ def slot_decode_steps(
             cache=cache, row_lengths=lens,
         )
         logits = gemma.logits(params["llm"], hidden)[:, -1, :]
-        if do_sample and temperature > 0.0:
-            nxt = sample_top_p(logits, step_key, temperature, top_p)
-        else:
-            nxt = greedy(logits)
+        nxt = sample_rows(logits, step_key, temps, topps)
         return (nxt[:, None], cache, lens + 1), nxt
 
     keys = jax.random.split(key, n_steps)
@@ -89,18 +83,25 @@ def _insert_group(
     slots: jnp.ndarray,  # (G,) int32 target rows (pad entries -> trash row)
     lengths: jnp.ndarray,  # (B,)
     cur_tok: jnp.ndarray,  # (B, 1)
+    temps: jnp.ndarray,  # (B,)
+    topps: jnp.ndarray,  # (B,)
     valid: jnp.ndarray,  # (G,) prompt lengths
     first: jnp.ndarray,  # (G,) first decoded token per joiner
+    req_temps: jnp.ndarray,  # (G,) per-request temperature (<=0 greedy)
+    req_topps: jnp.ndarray,  # (G,)
 ):
-    """Scatter a whole join group's prefilled K/V rows + lengths + tokens into
-    their slots in ONE dispatch (join overhead is what decides whether
-    continuous batching beats window coalescing — measured in REPORT.md)."""
+    """Scatter a whole join group's prefilled K/V rows + lengths + tokens +
+    sampling params into their slots in ONE dispatch (join overhead is what
+    decides whether continuous batching beats window coalescing — measured
+    in REPORT.md)."""
     t_b = temp.k.shape[2]
     k = cache.k.at[:, slots, :t_b].set(temp.k.astype(cache.k.dtype))
     v = cache.v.at[:, slots, :t_b].set(temp.v.astype(cache.v.dtype))
     lengths = lengths.at[slots].set(valid.astype(jnp.int32))
     cur_tok = cur_tok.at[slots, 0].set(first.astype(jnp.int32))
-    return KVCache(k=k, v=v, length=cache.length), lengths, cur_tok
+    temps = temps.at[slots].set(req_temps.astype(jnp.float32))
+    topps = topps.at[slots].set(req_topps.astype(jnp.float32))
+    return KVCache(k=k, v=v, length=cache.length), lengths, cur_tok, temps, topps
 
 
 class Request:
@@ -108,12 +109,21 @@ class Request:
 
     _next_id = 0
 
-    def __init__(self, prompt: str, image, max_new_tokens: int):
+    def __init__(
+        self,
+        prompt: str,
+        image,
+        max_new_tokens: int,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+    ):
         self.id = Request._next_id
         Request._next_id += 1
         self.prompt = prompt
         self.image = image
         self.max_new_tokens = max_new_tokens
+        self.temperature = temperature  # <= 0 -> greedy
+        self.top_p = top_p
         self.tokens: List[int] = []
         self.done = False
         self.error: Optional[Exception] = None
@@ -171,6 +181,8 @@ class ContinuousBatcher:
         self.cache = gemma.init_cache(cfg.text_config, b, s_len, cache_dtype)
         self.lengths = jnp.zeros((b,), jnp.int32)
         self.cur_tok = jnp.zeros((b, 1), jnp.int32)
+        self.temps = jnp.zeros((b,), jnp.float32)  # <= 0 -> greedy
+        self.topps = jnp.full((b,), 0.9, jnp.float32)
         self.slot_req: List[Optional[Request]] = [None] * n_slots
         self.pending: deque = deque()
         self.completed: List[Request] = []
@@ -181,8 +193,30 @@ class ContinuousBatcher:
 
     # -- request lifecycle ---------------------------------------------------
 
-    def submit(self, prompt: str, image, max_new_tokens: Optional[int] = None) -> Request:
-        req = Request(prompt, image, max_new_tokens or self.max_new_tokens)
+    def submit(
+        self,
+        prompt: str,
+        image,
+        max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+        do_sample: Optional[bool] = None,
+    ) -> Request:
+        """Queue a request. Per-request sampling params ride the slot arrays
+        (mixed greedy/sampled batches share one compiled program); defaults
+        come from the engine constructor. ``do_sample=False`` (or
+        temperature <= 0) means greedy."""
+        if do_sample is None:
+            do_sample = self.do_sample
+        if temperature is None:
+            temperature = self.temperature
+        if top_p is None:
+            top_p = self.top_p
+        eff_t = float(temperature) if (do_sample and temperature > 0) else 0.0
+        req = Request(
+            prompt, image, max_new_tokens or self.max_new_tokens,
+            temperature=eff_t, top_p=float(top_p),
+        )
         if req.max_new_tokens > self.max_new_tokens:
             raise ValueError(
                 f"max_new_tokens {req.max_new_tokens} exceeds the engine budget "
@@ -229,19 +263,27 @@ class ContinuousBatcher:
             self.params, self.cfg, jnp.asarray(ids),
             jnp.asarray(pix, self.cache_dtype), jnp.asarray(valid), temp,
         )
+        req_temps = np.zeros((g_b,), np.float32)
+        req_topps = np.full((g_b,), 0.9, np.float32)
+        for i, (_, req) in enumerate(joiners):
+            req_temps[i] = req.temperature
+            req_topps[i] = req.top_p
         self.key, sub = jax.random.split(self.key)
-        if self.do_sample and self.temperature > 0.0:
-            first = sample_top_p(logits, sub, self.temperature, self.top_p)
-        else:
-            first = greedy(logits)
+        first = sample_rows(
+            logits, sub, jnp.asarray(req_temps), jnp.asarray(req_topps)
+        )
 
         slots = np.full((g_b,), self.trash_row, np.int32)
         for i, (slot, req) in enumerate(joiners):
             slots[i] = slot
             self.slot_req[slot] = req
-        self.cache, self.lengths, self.cur_tok = _insert_group(
+        (
+            self.cache, self.lengths, self.cur_tok, self.temps, self.topps,
+        ) = _insert_group(
             self.cache, temp, jnp.asarray(slots), self.lengths, self.cur_tok,
-            jnp.asarray(valid), first.astype(jnp.int32),
+            self.temps, self.topps, jnp.asarray(valid),
+            first.astype(jnp.int32), jnp.asarray(req_temps),
+            jnp.asarray(req_topps),
         )
         self._pending_first.append((joiners, first))
 
@@ -279,8 +321,8 @@ class ContinuousBatcher:
 
         self.key, sub = jax.random.split(self.key)
         toks, self.cur_tok, self.cache, self.lengths = slot_decode_steps(
-            self.params, self.cfg, self.cur_tok, self.cache, self.lengths, sub,
-            self.chunk, self.do_sample, float(self.temperature), float(self.top_p),
+            self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
+            self.temps, self.topps, sub, self.chunk,
         )
         toks_np = np.asarray(toks)  # one host fetch per chunk
 

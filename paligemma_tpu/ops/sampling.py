@@ -87,6 +87,33 @@ def sample_top_p(
     return next_token.astype(jnp.int32)
 
 
+def sample_rows(
+    logits: jnp.ndarray,
+    key: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-row temperature + nucleus sampling; rows with temperature <= 0
+    decode greedily. logits (B, V); temperature, top_p (B,) -> (B,) int32.
+
+    One compiled program serves mixed greedy/sampled batches — the
+    continuous-serving slots, where each request carries its own sampling
+    params (threshold nucleus; the 257k-vocab sort/top_k hazards apply,
+    see ``_nucleus_threshold``).
+    """
+    temperature = jnp.asarray(temperature, jnp.float32).reshape(-1, 1)
+    top_p = jnp.asarray(top_p, jnp.float32).reshape(-1, 1)
+    safe_t = jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / safe_t, axis=-1)
+    t = _nucleus_threshold(probs, top_p)
+    kept = jnp.where(probs >= t, probs, 0.0)
+    kept = kept / jnp.sum(kept, axis=-1, keepdims=True)
+    draw = jax.random.categorical(key, jnp.log(kept + 1e-30), axis=-1)
+    return jnp.where(
+        temperature[:, 0] > 0.0, draw.astype(jnp.int32), greedy(logits)
+    )
+
+
 def select_token(
     logits: jnp.ndarray,
     key: jax.Array,

@@ -240,9 +240,9 @@ class ContinuousRunner:
     its last EOS — mixed-length traffic convoys behind the longest request),
     this keeps ``paligemma_tpu.continuous.ContinuousBatcher``'s decode slots
     permanently hot: a request joins between decode chunks the moment a slot
-    frees up and leaves on its own EOS. Greedy requests only (per-slot
-    sampling params would be another compiled program per combination);
-    sampled requests fall back to the single-stream engine path.
+    frees up and leaves on its own EOS. Per-request sampling params ride the
+    slot arrays, so greedy and sampled requests share the one compiled
+    program.
 
     Exposes the same blocking ``submit(request) -> dict`` surface as Batcher.
     """
@@ -267,14 +267,6 @@ class ContinuousRunner:
         threading.Thread(target=self._loop, daemon=True).start()
 
     def submit(self, request: dict) -> dict:
-        if request.get("do_sample") and request.get("temperature", 0) > 0:
-            # Sampling params are static per compiled program; route sampled
-            # requests through the single-stream path (engine takes its own
-            # lock, interleaving with the runner between decode chunks).
-            return self.engine.generate(
-                request["prompt"], request["image"], request["max_tokens"],
-                request["temperature"], request["top_p"], request["do_sample"],
-            )
         done = threading.Event()
         slot = {"request": request, "event": done, "result": None}
         self.queue.put(slot)
@@ -303,6 +295,9 @@ class ContinuousRunner:
                     creq = self.batcher.submit(
                         req["prompt"], req["image"],
                         min(req["max_tokens"], self.max_new_cap),
+                        temperature=req.get("temperature"),
+                        top_p=req.get("top_p"),
+                        do_sample=req.get("do_sample"),
                     )
                     self.waiters[creq.id] = slot
                 except Exception as e:

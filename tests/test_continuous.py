@@ -100,3 +100,22 @@ def test_budget_guard(setup):
     )
     with pytest.raises(ValueError, match="exceeds the engine budget"):
         eng.submit(prompts[0], images[0], max_new_tokens=99)
+
+
+def test_mixed_greedy_and_sampled_slots(setup):
+    """Per-request sampling params share one compiled program: a greedy
+    request decoding NEXT TO a sampled one must still match its batch-1
+    greedy oracle; the sampled one must produce in-vocab tokens."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=2, max_new_tokens=6, chunk=2,
+        cache_dtype=jnp.float32,
+    )
+    r_greedy = eng.submit(prompts[0], images[0])
+    r_sampled = eng.submit(
+        prompts[1], images[1], temperature=0.9, top_p=0.9, do_sample=True
+    )
+    eng.run()
+    assert r_greedy.tokens == oracle_tokens(params, cfg, proc, prompts[0], images[0], 6)
+    assert len(r_sampled.tokens) >= 1
+    assert all(0 <= t < cfg.text_config.vocab_size for t in r_sampled.tokens)
