@@ -35,7 +35,6 @@ coco_id (throughput is content-independent); drop real files into
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import functools
 import json
 import os

@@ -16,7 +16,6 @@ for environments without a checkpoint.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 
 

@@ -11,7 +11,6 @@ with argparse (``--flag=value`` and ``--flag value`` both work, as with fire).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 
 

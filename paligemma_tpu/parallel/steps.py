@@ -9,8 +9,7 @@ distributed path; this is headroom the rebuild adds).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import optax

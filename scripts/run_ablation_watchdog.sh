@@ -6,12 +6,13 @@
 set -u
 LOG="${LOG:-/tmp/ablation_full.log}"
 OUT="${OUT:-ablation_results}"
+QUANT="${QUANT:-none}"
 STALL_SECS="${STALL_SECS:-420}"
 MAX_TRIES="${MAX_TRIES:-6}"
 
 for try in $(seq 1 "$MAX_TRIES"); do
     echo "=== attempt $try ===" >> "$LOG"
-    python ablation_study.py --output_dir "$OUT" >> "$LOG" 2>&1 &
+    python ablation_study.py --output_dir "$OUT" --quant "$QUANT" >> "$LOG" 2>&1 &
     PID=$!
     while kill -0 "$PID" 2>/dev/null; do
         sleep 30
