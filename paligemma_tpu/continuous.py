@@ -127,6 +127,13 @@ class Request:
         self.tokens: List[int] = []
         self.done = False
         self.error: Optional[Exception] = None
+        # Streaming hook: called from the engine-driving thread with
+        # (new_tokens, done) once per chunk that touched this request.
+        self.on_tokens = None
+        self.notified = 0  # tokens already delivered through on_tokens
+        # Set (from any thread) to stop decoding this request at the next
+        # chunk boundary — e.g. its streaming client disconnected.
+        self.cancelled = False
 
 
 class ContinuousBatcher:
@@ -292,8 +299,14 @@ class ContinuousBatcher:
     def _fill_slots(self) -> None:
         joiners = []
         for slot in range(self.n_slots):
-            if self.slot_req[slot] is None and self.pending:
-                joiners.append((slot, self.pending.popleft()))
+            while self.slot_req[slot] is None and self.pending:
+                req = self.pending.popleft()
+                if req.cancelled:  # client gone while queued: never join
+                    req.done = True
+                    self.completed.append(req)
+                    continue
+                joiners.append((slot, req))
+                break
         if not joiners:
             return
         try:
@@ -310,6 +323,8 @@ class ContinuousBatcher:
                     req.done = True
                     self.completed.append(req)
                     self.slot_req[slot] = None
+                    if req.on_tokens is not None:
+                        req.on_tokens([], True)
 
     def step(self) -> bool:
         """Join pending requests, run one decode chunk, evict finished slots.
@@ -325,6 +340,7 @@ class ContinuousBatcher:
             self.temps, self.topps, sub, self.chunk,
         )
         toks_np = np.asarray(toks)  # one host fetch per chunk
+        touched: List[Request] = []
 
         # Deferred first tokens (joined this gap): they precede the chunk's
         # tokens in each request's sequence, so process them first. A slot
@@ -336,6 +352,7 @@ class ContinuousBatcher:
                 if self.slot_req[slot] is not req:
                     continue  # join failed and was retried elsewhere
                 req.tokens.append(int(val))
+                touched.append(req)
                 if int(val) == self.eos_token_id or req.max_new_tokens <= 1:
                     self._finish(slot)
         self._pending_first.clear()
@@ -344,11 +361,26 @@ class ContinuousBatcher:
             req = self.slot_req[slot]
             if req is None:
                 continue
+            if req.cancelled:
+                # Client gone: free the slot now instead of decoding to
+                # max_new_tokens.
+                self._finish(slot)
+                continue
+            if req not in touched:
+                touched.append(req)
             for t in toks_np[slot].tolist():
                 req.tokens.append(int(t))
                 if t == self.eos_token_id or len(req.tokens) >= req.max_new_tokens:
                     self._finish(slot)
                     break
+
+        # Streaming hooks: one notification per request per chunk, from the
+        # engine-driving thread.
+        for req in touched:
+            if req.on_tokens is not None:
+                n = req.notified
+                req.notified = len(req.tokens)
+                req.on_tokens(req.tokens[n:], req.done)
         return True
 
     def run(self) -> List[Request]:

@@ -275,6 +275,49 @@ class ContinuousRunner:
             raise slot["result"]
         return slot["result"]
 
+    def submit_stream(self, prompt, image, max_tokens, temperature, top_p,
+                      do_sample):
+        """Yields (new_tokens, text_delta) per decode chunk — same surface as
+        Engine.generate_stream, but multiplexed over the continuous slots so
+        MANY streams decode concurrently instead of serializing on the
+        engine lock."""
+        chunks: "queue.Queue" = queue.Queue()
+        slot = {
+            "request": {
+                "prompt": prompt, "image": image, "max_tokens": max_tokens,
+                "temperature": temperature, "top_p": top_p,
+                "do_sample": do_sample,
+            },
+            "event": threading.Event(),
+            "result": None,
+            "stream_q": chunks,
+        }
+        self.queue.put(slot)
+
+        tok = self.engine.processor.tokenizer
+        seen, prev_text = [], ""
+        try:
+            while True:
+                piece, done = chunks.get()
+                if isinstance(piece, Exception):
+                    raise piece
+                if piece:
+                    seen.extend(piece)
+                    # Re-decode the prefix each time: byte/UTF-8 tokenizers
+                    # only produce stable text at whole-sequence granularity.
+                    text = tok.decode(seen, skip_special_tokens=True)
+                    yield piece, text[len(prev_text):]
+                    prev_text = text
+                if done:
+                    return
+        finally:
+            # Consumer gone (the SSE handler closes this generator on
+            # BrokenPipeError) or finished: free the slot at the next chunk.
+            slot["cancelled"] = True
+            creq = slot.get("creq")
+            if creq is not None:
+                creq.cancelled = True
+
     def _loop(self):
         while True:
             # Block when idle; otherwise just drain whatever arrived while
@@ -299,10 +342,22 @@ class ContinuousRunner:
                         top_p=req.get("top_p"),
                         do_sample=req.get("do_sample"),
                     )
+                    sq = slot.get("stream_q")
+                    if sq is not None:
+                        creq.on_tokens = lambda toks, done, _q=sq: _q.put(
+                            (toks, done)
+                        )
+                    slot["creq"] = creq
+                    if slot.get("cancelled"):
+                        creq.cancelled = True
                     self.waiters[creq.id] = slot
                 except Exception as e:
-                    slot["result"] = e
-                    slot["event"].set()
+                    sq = slot.get("stream_q")
+                    if sq is not None:
+                        sq.put((e, True))
+                    else:
+                        slot["result"] = e
+                        slot["event"].set()
 
             with self.engine.lock:
                 active = sum(r is not None for r in self.batcher.slot_req)
@@ -314,6 +369,12 @@ class ContinuousRunner:
                 self._emitted += 1
                 slot = self.waiters.pop(creq.id, None)
                 if slot is None:
+                    continue
+                if slot.get("stream_q") is not None:
+                    # Streamed: chunks were already delivered via on_tokens;
+                    # forward a join/engine error if one ended the request.
+                    if creq.error is not None:
+                        slot["stream_q"].put((creq.error, True))
                     continue
                 if creq.error is not None:
                     slot["result"] = creq.error
@@ -444,9 +505,16 @@ def make_handler(engine: Engine, batcher=None):
                 self._send(500, {"error": repr(e)})
 
         def _stream(self, prompt, image, params):
-            """Server-Sent Events: one event per compiled decode chunk."""
+            """Server-Sent Events: one event per compiled decode chunk.
+
+            In continuous mode, streams multiplex over the decode slots —
+            many clients stream concurrently instead of serializing on the
+            engine lock."""
             try:
-                gen = engine.generate_stream(prompt, image, **params)
+                if isinstance(batcher, ContinuousRunner):
+                    gen = batcher.submit_stream(prompt, image, **params)
+                else:
+                    gen = engine.generate_stream(prompt, image, **params)
                 first = next(gen)  # run prefill before committing to 200
             except StopIteration:
                 first = None

@@ -119,3 +119,46 @@ def test_mixed_greedy_and_sampled_slots(setup):
     assert r_greedy.tokens == oracle_tokens(params, cfg, proc, prompts[0], images[0], 6)
     assert len(r_sampled.tokens) >= 1
     assert all(0 <= t < cfg.text_config.vocab_size for t in r_sampled.tokens)
+
+
+def test_streaming_hook_and_cancellation(setup):
+    """on_tokens must deliver exactly the request's token stream in order;
+    setting .cancelled frees the slot at the next chunk boundary."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=2, max_new_tokens=8, chunk=2,
+        cache_dtype=jnp.float32,
+    )
+    streamed = []
+    dones = []
+    r0 = eng.submit(prompts[0], images[0])
+    r0.on_tokens = lambda toks, done: (streamed.extend(toks), dones.append(done))
+    eng.run()
+    assert streamed == r0.tokens
+    assert dones[-1] is True
+
+    # Cancellation: a long request is evicted at the next chunk boundary.
+    r1 = eng.submit(prompts[1], images[1], max_new_tokens=8)
+    eng.step()  # joins + first chunk
+    produced = len(r1.tokens)
+    r1.cancelled = True
+    eng.run()
+    assert r1.done
+    # At most the already-queued notifications; far fewer than the budget.
+    assert len(r1.tokens) <= produced + 1
+
+
+def test_cancel_while_queued(setup):
+    """A request cancelled before it ever joins a slot completes without
+    decoding a single token."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=1, max_new_tokens=6, chunk=2,
+        cache_dtype=jnp.float32,
+    )
+    r0 = eng.submit(prompts[0], images[0])  # occupies the only slot
+    r1 = eng.submit(prompts[1], images[1])  # queued
+    eng.step()
+    r1.cancelled = True
+    eng.run()
+    assert r1.done and r1.tokens == []

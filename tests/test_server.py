@@ -168,3 +168,43 @@ def test_continuous_concurrent_mixed_lengths(continuous_server):
                 "max_tokens": 14}) as r:
         solo = json.loads(r.read())
     assert solo["tokens"] == results[1]["tokens"]
+
+
+def test_continuous_concurrent_streams(continuous_server):
+    """Two SSE streams run CONCURRENTLY over the continuous slots (they no
+    longer serialize on the engine lock) and each re-streamed alone yields
+    the same greedy tokens."""
+    base = continuous_server
+    results = {}
+
+    def stream(i, max_tokens):
+        body = {"prompt": f"stream {i}", "image_b64": _b64img(i + 10),
+                "max_tokens": max_tokens}
+        req = urllib.request.Request(
+            base + "/generate_stream", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        toks = []
+        with urllib.request.urlopen(req, timeout=180) as r:
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                evt = json.loads(line[len("data: "):])
+                if evt.get("done"):
+                    break
+                toks.extend(evt["tokens"])
+        results[i] = toks
+
+    threads = [threading.Thread(target=stream, args=(i, 10)) for i in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert set(results) == {0, 1}
+    assert all(1 <= len(v) <= 10 for v in results.values())
+
+    solo = dict(results)
+    results.clear()
+    stream(0, 10)
+    assert results[0] == solo[0]
