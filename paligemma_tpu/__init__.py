@@ -12,6 +12,8 @@ from paligemma_tpu.config import (
     PaliGemmaConfig,
     SiglipVisionConfig,
     paligemma_3b_pt_224,
+    paligemma_3b_pt_448,
+    paligemma_3b_pt_896,
     tiny_config,
 )
 from paligemma_tpu.models.gemma import KVCache
@@ -29,6 +31,8 @@ __all__ = [
     "PaliGemmaConfig",
     "SiglipVisionConfig",
     "paligemma_3b_pt_224",
+    "paligemma_3b_pt_448",
+    "paligemma_3b_pt_896",
     "tiny_config",
     "KVCache",
     # submodules (imported lazily by users):

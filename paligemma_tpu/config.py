@@ -149,6 +149,33 @@ def paligemma_3b_pt_224() -> PaliGemmaConfig:
     )
 
 
+def _paligemma_3b_at(image_size: int) -> PaliGemmaConfig:
+    """Same So400m + Gemma-2B towers at a different input resolution — the
+    only geometry deltas across google/paligemma-3b-pt-{224,448,896} are
+    image_size and the derived num_image_tokens ((size/14)^2: 256/1024/4096).
+    """
+    import dataclasses
+
+    base = paligemma_3b_pt_224()
+    n_img = (image_size // base.vision_config.patch_size) ** 2
+    return dataclasses.replace(
+        base,
+        vision_config=dataclasses.replace(
+            base.vision_config, image_size=image_size, num_image_tokens=n_img
+        ),
+    )
+
+
+def paligemma_3b_pt_448() -> PaliGemmaConfig:
+    """google/paligemma-3b-pt-448 geometry (1024 image tokens)."""
+    return _paligemma_3b_at(448)
+
+
+def paligemma_3b_pt_896() -> PaliGemmaConfig:
+    """google/paligemma-3b-pt-896 geometry (4096 image tokens)."""
+    return _paligemma_3b_at(896)
+
+
 def tiny_config(
     vocab_size: int = 260,
     image_token_index: int = 256,

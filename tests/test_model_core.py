@@ -285,3 +285,46 @@ class TestReferenceForwardAPI:
         qp = quantize_params(params, llm_only=True)
         with pytest.raises(TypeError, match="unquantized"):
             lora_lib.merge_lora(qp, adapter, lcfg)
+
+
+def test_higher_resolution_variants_geometry():
+    """448/896 variants differ from 224 only in image_size and the derived
+    image-token count ((size/14)^2) — the whole pipeline is geometry-generic,
+    proven by a tiny-scale forward at a larger patch grid."""
+    import dataclasses
+
+    from paligemma_tpu.config import (
+        paligemma_3b_pt_224,
+        paligemma_3b_pt_448,
+        paligemma_3b_pt_896,
+        tiny_config,
+    )
+
+    c224, c448, c896 = paligemma_3b_pt_224(), paligemma_3b_pt_448(), paligemma_3b_pt_896()
+    assert (c448.vision_config.image_size, c448.vision_config.num_image_tokens) == (448, 1024)
+    assert (c896.vision_config.image_size, c896.vision_config.num_image_tokens) == (896, 4096)
+    for c in (c448, c896):
+        assert c.text_config == c224.text_config
+        assert c.vision_config.hidden_size == c224.vision_config.hidden_size
+
+    # Tiny-scale analog of the 448 step-up: double the image size, 4x tokens.
+    base = tiny_config()
+    up = dataclasses.replace(
+        base,
+        vision_config=dataclasses.replace(
+            base.vision_config,
+            image_size=base.vision_config.image_size * 2,
+            num_image_tokens=base.vision_config.num_image_tokens * 4,
+        ),
+    )
+    params = paligemma.init_params(up, jax.random.PRNGKey(0), jnp.float32)
+    n_img = up.vision_config.num_image_tokens
+    ids = jnp.concatenate(
+        [jnp.full((1, n_img), up.image_token_index, jnp.int32),
+         jnp.full((1, 4), 7, jnp.int32)], axis=1,
+    )
+    size = up.vision_config.image_size
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, size, size))
+    logits = paligemma.forward_nocache(params, up, ids, pix)
+    assert logits.shape == (1, n_img + 4, up.text_config.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
