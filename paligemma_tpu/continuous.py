@@ -25,6 +25,7 @@ SURVEY.md §2's inventory.
 from __future__ import annotations
 
 import functools
+import itertools
 from collections import deque
 from typing import List, Optional
 
@@ -107,7 +108,7 @@ def _insert_group(
 class Request:
     """One submitted generation request and its accumulating result."""
 
-    _next_id = 0
+    _ids = itertools.count()  # count().__next__ is atomic in CPython
 
     def __init__(
         self,
@@ -117,8 +118,7 @@ class Request:
         temperature: float = 0.0,
         top_p: float = 0.9,
     ):
-        self.id = Request._next_id
-        Request._next_id += 1
+        self.id = next(Request._ids)
         self.prompt = prompt
         self.image = image
         self.max_new_tokens = max_new_tokens

@@ -215,18 +215,42 @@ class ByteTokenizer:
         return "".join(out)
 
 
+def _tokenizer_id_bound(processor) -> int:
+    """Smallest table size covering every id the tokenizer can emit.
+
+    HF's ``vocab_size`` EXCLUDES added tokens (the <loc>/<seg>/<image> ids
+    the processor itself registers), so also consider ``len(tokenizer)`` and
+    the highest registered task-token ids.
+    """
+    tok = processor.tokenizer
+    bound = getattr(tok, "vocab_size", 0) or 0
+    try:
+        bound = max(bound, len(tok))
+    except TypeError:
+        pass
+    bound = max(bound, processor.image_token_id + 1)
+    for marker in ("<seg127>", "<loc1023>"):
+        try:
+            tid = tok.convert_tokens_to_ids(marker)
+            if tid is not None and tid >= 0:
+                bound = max(bound, int(tid) + 1)
+        except Exception:
+            pass
+    return bound
+
+
 def align_config(cfg, processor):
     """Return ``cfg`` with the tokenizer contract applied: image_token_index
     = the processor's actual ``<image>`` id, and BOTH vocab sizes (composite
     and nested text config — the embedding table is sized from
     ``text_config.vocab_size``) grown to cover every id the tokenizer can
-    emit. Without the nested replace, out-of-range ids silently clamp in
-    ``jnp.take`` and merge garbage rows.
+    emit, INCLUDING added tokens (HF's ``vocab_size`` excludes them). Without
+    the nested replace, out-of-range ids silently clamp in ``jnp.take`` and
+    merge garbage rows.
     """
     import dataclasses
 
-    tok_vocab = getattr(processor.tokenizer, "vocab_size", 0) or 0
-    v = max(cfg.text_config.vocab_size, tok_vocab, processor.image_token_id + 1)
+    v = max(cfg.text_config.vocab_size, _tokenizer_id_bound(processor))
     return dataclasses.replace(
         cfg,
         image_token_index=processor.image_token_id,
@@ -248,9 +272,10 @@ def assert_aligned(processor, cfg) -> None:
             "with processing.align_config(cfg, processor) before building "
             "model inputs"
         )
-    if processor.image_token_id >= cfg.text_config.vocab_size:
+    bound = _tokenizer_id_bound(processor)
+    if bound > cfg.text_config.vocab_size:
         raise ValueError(
-            f"image token id {processor.image_token_id} is out of range for "
+            f"tokenizer can emit ids up to {bound - 1}, out of range for "
             f"the embedding table (text vocab {cfg.text_config.vocab_size}); "
             "use processing.align_config(cfg, processor)"
         )

@@ -32,10 +32,6 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def fence(x):
-    return jax.block_until_ready(x) and None or float(jnp.sum(x[..., :1]))
-
-
 def measure_decode(params, cfg, ids, pix, dtype, tokens, windows, chunk=64):
     key = jax.random.PRNGKey(0)
     max_new = tokens * windows + chunk

@@ -344,9 +344,16 @@ class ContinuousRunner:
                     )
                     sq = slot.get("stream_q")
                     if sq is not None:
-                        creq.on_tokens = lambda toks, done, _q=sq: _q.put(
-                            (toks, done)
-                        )
+                        # Deliver the request's error (join failure, engine
+                        # fault) THROUGH the stream: the generator raises it
+                        # instead of ending as a silent empty 200.
+                        def _notify(toks, done, _q=sq, _r=creq):
+                            if done and _r.error is not None:
+                                _q.put((_r.error, True))
+                            else:
+                                _q.put((toks, done))
+
+                        creq.on_tokens = _notify
                     slot["creq"] = creq
                     if slot.get("cancelled"):
                         creq.cancelled = True
@@ -359,9 +366,24 @@ class ContinuousRunner:
                         slot["result"] = e
                         slot["event"].set()
 
-            with self.engine.lock:
-                active = sum(r is not None for r in self.batcher.slot_req)
-                self.batcher.step()
+            active = 0
+            try:
+                with self.engine.lock:
+                    active = sum(r is not None for r in self.batcher.slot_req)
+                    self.batcher.step()
+            except Exception as e:
+                # A transient engine/backend fault (the tunneled TPU RPC is
+                # known to occasionally fail) must not kill this thread —
+                # every waiter would hang forever. Fail the in-flight
+                # requests, free the slots, keep serving.
+                for i, creq in enumerate(self.batcher.slot_req):
+                    if creq is not None:
+                        creq.error = e
+                        creq.done = True
+                        self.batcher.completed.append(creq)
+                        if creq.on_tokens is not None:
+                            creq.on_tokens([], True)
+                        self.batcher.slot_req[i] = None
             # Deliver newly completed requests.
             comp = self.batcher.completed
             while self._emitted < len(comp):
@@ -371,10 +393,8 @@ class ContinuousRunner:
                 if slot is None:
                     continue
                 if slot.get("stream_q") is not None:
-                    # Streamed: chunks were already delivered via on_tokens;
-                    # forward a join/engine error if one ended the request.
-                    if creq.error is not None:
-                        slot["stream_q"].put((creq.error, True))
+                    # Streamed: chunks (and any error) were already delivered
+                    # through the on_tokens hook.
                     continue
                 if creq.error is not None:
                     slot["result"] = creq.error
@@ -565,8 +585,9 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--continuous", action="store_true",
                    help="slot-level continuous batching: requests join the "
-                        "running decode between chunks and leave on EOS "
-                        "(greedy requests; sampled ones run single-stream)")
+                        "running decode between chunks and leave on EOS; "
+                        "per-request sampling params ride the slots, so "
+                        "greedy and sampled traffic share one program")
     p.add_argument("--n_slots", type=int, default=4)
     p.add_argument("--max_new_cap", type=int, default=256,
                    help="continuous mode: per-slot token budget (cache is "

@@ -208,3 +208,21 @@ def test_continuous_concurrent_streams(continuous_server):
     results.clear()
     stream(0, 10)
     assert results[0] == solo[0]
+
+
+def test_continuous_stream_join_error_surfaces(continuous_server):
+    """A stream whose prompt exceeds the slot prompt budget must surface an
+    error — not a silent empty 200 stream."""
+    base = continuous_server
+    body = {"prompt": "x" * 4000, "image_b64": _b64img(3), "max_tokens": 4}
+    req = urllib.request.Request(
+        base + "/generate_stream", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            payload = r.read().decode()
+        assert False, f"expected an error, got: {payload[:200]}"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert "prompt" in e.read().decode()
