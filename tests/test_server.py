@@ -226,3 +226,14 @@ def test_continuous_stream_join_error_surfaces(continuous_server):
     except urllib.error.HTTPError as e:
         assert e.code == 500
         assert "prompt" in e.read().decode()
+
+
+def test_continuous_generate_join_error_is_500(continuous_server):
+    base = continuous_server
+    body = {"prompt": "y" * 4000, "image_b64": _b64img(4), "max_tokens": 4}
+    try:
+        with _post(base, "/generate", body, timeout=120) as r:
+            assert False, f"expected 500, got {r.status}"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert "prompt" in e.read().decode()
