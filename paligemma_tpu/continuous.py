@@ -87,14 +87,20 @@ def _insert_group(
     temps: jnp.ndarray,  # (B,)
     topps: jnp.ndarray,  # (B,)
     valid: jnp.ndarray,  # (G,) prompt lengths
-    first: jnp.ndarray,  # (G,) first decoded token per joiner
+    logits: jnp.ndarray,  # (G, V) last-position prefill logits per joiner
+    key: jax.Array,
     req_temps: jnp.ndarray,  # (G,) per-request temperature (<=0 greedy)
     req_topps: jnp.ndarray,  # (G,)
 ):
-    """Scatter a whole join group's prefilled K/V rows + lengths + tokens +
-    sampling params into their slots in ONE dispatch (join overhead is what
-    decides whether continuous batching beats window coalescing — measured
-    in REPORT.md)."""
+    """Sample a whole join group's first tokens AND scatter its prefilled K/V
+    rows + lengths + tokens + sampling params into their slots in ONE
+    dispatch (join overhead is what decides whether continuous batching
+    beats window coalescing — measured in REPORT.md; sampling eagerly here
+    once cost ~390 ms/join in per-op tunnel RPCs).
+
+    Returns (cache, lengths, cur_tok, temps, topps, first) with ``first``
+    (G,) int32 — the joiners' first decoded tokens, left on device."""
+    first = sample_rows(logits, key, req_temps, req_topps)
     t_b = temp.k.shape[2]
     k = cache.k.at[:, slots, :t_b].set(temp.k.astype(cache.k.dtype))
     v = cache.v.at[:, slots, :t_b].set(temp.v.astype(cache.v.dtype))
@@ -102,7 +108,7 @@ def _insert_group(
     cur_tok = cur_tok.at[slots, 0].set(first.astype(jnp.int32))
     temps = temps.at[slots].set(req_temps.astype(jnp.float32))
     topps = topps.at[slots].set(req_topps.astype(jnp.float32))
-    return KVCache(k=k, v=v, length=cache.length), lengths, cur_tok, temps, topps
+    return KVCache(k=k, v=v, length=cache.length), lengths, cur_tok, temps, topps, first
 
 
 class Request:
@@ -276,9 +282,6 @@ class ContinuousBatcher:
             req_temps[i] = req.temperature
             req_topps[i] = req.top_p
         self.key, sub = jax.random.split(self.key)
-        first = sample_rows(
-            logits, sub, jnp.asarray(req_temps), jnp.asarray(req_topps)
-        )
 
         slots = np.full((g_b,), self.trash_row, np.int32)
         for i, (slot, req) in enumerate(joiners):
@@ -286,11 +289,11 @@ class ContinuousBatcher:
             self.slot_req[slot] = req
         (
             self.cache, self.lengths, self.cur_tok, self.temps, self.topps,
+            first,
         ) = _insert_group(
             self.cache, temp, jnp.asarray(slots), self.lengths, self.cur_tok,
             self.temps, self.topps, jnp.asarray(valid),
-            first.astype(jnp.int32), jnp.asarray(req_temps),
-            jnp.asarray(req_topps),
+            logits, sub, jnp.asarray(req_temps), jnp.asarray(req_topps),
         )
         self._pending_first.append((joiners, first))
 
@@ -327,26 +330,48 @@ class ContinuousBatcher:
                         req.on_tokens([], True)
 
     def step(self) -> bool:
-        """Join pending requests, run one decode chunk, evict finished slots.
+        """Run one decode chunk, join pending requests WHILE it runs on
+        device, evict finished slots at the chunk boundary.
+
+        Join overlap: when slots are already decoding, the chunk is
+        dispatched FIRST (dispatches are async) and the join work — host-side
+        tokenization/image preprocessing plus the prefill / sample / insert
+        dispatches — happens while the chunk executes, queueing behind it on
+        device. The joiner therefore starts decoding at the NEXT chunk, and
+        the engine never sits idle doing host work between chunks (measured
+        in REPORT.md). Only when the engine is idle (no active slot) does the
+        join run ahead of the chunk, since there is nothing to overlap.
 
         Returns False when there is nothing left to do."""
-        self._fill_slots()
-        if not any(r is not None for r in self.slot_req):
-            return bool(self.pending)
+        had_active = any(r is not None for r in self.slot_req)
+        if not had_active:
+            self._fill_slots()
+            if not any(r is not None for r in self.slot_req):
+                return bool(self.pending)
+
+        # First tokens whose prefill was enqueued BEFORE this chunk (idle-path
+        # joins above, or last step's overlapped joins): ready by the time the
+        # chunk fetch returns, so reading them here costs no extra fence.
+        ready_first, self._pending_first = self._pending_first, []
+        # Whose tokens this chunk carries: slots (re)filled by the overlapped
+        # join below get garbage rows this chunk — theirs start next chunk.
+        active: List[Optional[Request]] = list(self.slot_req)
 
         self.key, sub = jax.random.split(self.key)
         toks, self.cur_tok, self.cache, self.lengths = slot_decode_steps(
             self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
             self.temps, self.topps, sub, self.chunk,
         )
+        if had_active:
+            self._fill_slots()  # overlapped: runs while the chunk decodes
         toks_np = np.asarray(toks)  # one host fetch per chunk
         touched: List[Request] = []
 
-        # Deferred first tokens (joined this gap): they precede the chunk's
-        # tokens in each request's sequence, so process them first. A slot
-        # whose first token already finished it (EOS / budget 1) is freed and
-        # its chunk tokens discarded.
-        for joiners, first in self._pending_first:
+        # Deferred first tokens: they precede the chunk's tokens in each
+        # request's sequence, so process them first. A slot whose first token
+        # already finished it (EOS / budget 1) is freed and its chunk tokens
+        # discarded.
+        for joiners, first in ready_first:
             vals = np.asarray(first)
             for (slot, req), val in zip(joiners, vals.tolist()):
                 if self.slot_req[slot] is not req:
@@ -355,17 +380,16 @@ class ContinuousBatcher:
                 touched.append(req)
                 if int(val) == self.eos_token_id or req.max_new_tokens <= 1:
                     self._finish(slot)
-        self._pending_first.clear()
 
         for slot in range(self.n_slots):
-            req = self.slot_req[slot]
-            if req is None:
-                continue
-            if req.cancelled:
+            cur = self.slot_req[slot]
+            if cur is not None and cur.cancelled:
                 # Client gone: free the slot now instead of decoding to
                 # max_new_tokens.
                 self._finish(slot)
-                continue
+            req = active[slot]
+            if req is None or self.slot_req[slot] is not req:
+                continue  # empty at dispatch, finished above, or re-joined
             if req not in touched:
                 touched.append(req)
             for t in toks_np[slot].tolist():

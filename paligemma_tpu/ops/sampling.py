@@ -8,6 +8,8 @@ distributional (torch ``multinomial`` vs JAX PRNG draw different streams).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,7 @@ def _nucleus_threshold(probs: jnp.ndarray, top_p: float, iters: int = 30) -> jnp
     return lo
 
 
+@functools.partial(jax.jit, static_argnames=("method",))
 def sample_top_p(
     logits: jnp.ndarray,
     key: jax.Array,
@@ -59,6 +62,10 @@ def sample_top_p(
     cheaper at 257k vocab); "auto" picks threshold for vocab > 16384.
     Both sample the same renormalized distribution; the drawn stream differs
     per method (parity is distributional — SURVEY.md §7).
+
+    Jitted (temperature/top_p traced, so every value shares one compile):
+    the eager form issued ~a dozen 5-7 ms tunnel RPCs per call on the
+    first-token path of every driver.
     """
     probs = jax.nn.softmax(
         logits.astype(jnp.float32) / jnp.float32(temperature), axis=-1
@@ -87,6 +94,7 @@ def sample_top_p(
     return next_token.astype(jnp.int32)
 
 
+@jax.jit
 def sample_rows(
     logits: jnp.ndarray,
     key: jax.Array,
@@ -99,7 +107,9 @@ def sample_rows(
     One compiled program serves mixed greedy/sampled batches — the
     continuous-serving slots, where each request carries its own sampling
     params (threshold nucleus; the 257k-vocab sort/top_k hazards apply,
-    see ``_nucleus_threshold``).
+    see ``_nucleus_threshold``). Jitted: called eagerly it would issue
+    dozens of per-op dispatches at ~5-7 ms tunnel RPC each (measured as a
+    ~390 ms/join stall in the continuous engine).
     """
     temperature = jnp.asarray(temperature, jnp.float32).reshape(-1, 1)
     top_p = jnp.asarray(top_p, jnp.float32).reshape(-1, 1)
