@@ -21,7 +21,8 @@ Parameter tree (dtype = param dtype, typically bf16 on TPU / fp32 for parity):
   position_embedding: (N, D)
   layers (stacked, leading axis L):
     ln1: {scale: (L, D), bias: (L, D)}
-    attn: {q,k,v,o: {kernel: (L, D, D), bias: (L, D)}}
+    attn: {qkv: {kernel: (L, D, 3D), bias: (L, 3D)},  # fused q|k|v
+           o:   {kernel: (L, D, D),  bias: (L, D)}}
     ln2: {scale: (L, D), bias: (L, D)}
     mlp: {fc1: {kernel: (L, D, I), bias: (L, I)}, fc2: {kernel: (L, I, D), bias: (L, D)}}
   post_layernorm: {scale: (D,), bias: (D,)}
@@ -59,11 +60,20 @@ def init_params(
         "layers": {
             "ln1": {"scale": jnp.ones((l, d), dtype), "bias": jnp.zeros((l, d), dtype)},
             "attn": {
-                name: {
-                    "kernel": dense(keys[2 + j], (l, d, d), d),
+                # q/k/v fused along the output dim (one GEMM per block, same
+                # math — mirrors the decoder's qkv fusion; checkpoint.py
+                # concatenates the HF per-projection weights on load).
+                "qkv": {
+                    "kernel": jnp.concatenate(
+                        [dense(keys[2 + j], (l, d, d), d) for j in range(3)],
+                        axis=2,
+                    ),
+                    "bias": jnp.zeros((l, 3 * d), dtype),
+                },
+                "o": {
+                    "kernel": dense(keys[5], (l, d, d), d),
                     "bias": jnp.zeros((l, d), dtype),
-                }
-                for j, name in enumerate(["q", "k", "v", "o"])
+                },
             },
             "ln2": {"scale": jnp.ones((l, d), dtype), "bias": jnp.zeros((l, d), dtype)},
             "mlp": {
@@ -128,9 +138,8 @@ def _layer(cfg: SiglipVisionConfig, h: jnp.ndarray, lp: Params) -> jnp.ndarray:
 
     residual = h
     x = layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.layer_norm_eps)
-    q = proj(x, lp["attn"]["q"]).reshape(b, n, nh, hd)
-    k = proj(x, lp["attn"]["k"]).reshape(b, n, nh, hd)
-    v = proj(x, lp["attn"]["v"]).reshape(b, n, nh, hd)
+    qkv = proj(x, lp["attn"]["qkv"])  # one (D, 3D) GEMM instead of three
+    q, k, v = (y.reshape(b, n, nh, hd) for y in jnp.split(qkv, 3, axis=-1))
     from paligemma_tpu import runtime
 
     if runtime.use_pallas_attention:

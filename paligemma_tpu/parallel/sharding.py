@@ -49,9 +49,9 @@ def param_shardings(cfg: PaliGemmaConfig, mesh: Mesh) -> Dict[str, Any]:
         "layers": {
             "ln1": {"scale": rep, "bias": rep},
             "attn": {
-                "q": {"kernel": col if _div(vc.hidden_size, mesh) else rep, "bias": rep},
-                "k": {"kernel": col if _div(vc.hidden_size, mesh) else rep, "bias": rep},
-                "v": {"kernel": col if _div(vc.hidden_size, mesh) else rep, "bias": rep},
+                # fused (L, D, 3D): column sharding splits the fused output
+                # dim; 3*hidden divisible iff hidden is.
+                "qkv": {"kernel": col if _div(vc.hidden_size, mesh) else rep, "bias": rep},
                 "o": {"kernel": row if _div(vc.hidden_size, mesh) else rep, "bias": rep},
             },
             "ln2": {"scale": rep, "bias": rep},

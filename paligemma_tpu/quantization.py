@@ -120,7 +120,7 @@ def quantize_params(
     # --- vision tower ---
     vis = dict(out["vision"])
     vlayers = jax.tree.map(lambda x: x, vis["layers"])
-    for path in (("attn", "q"), ("attn", "k"), ("attn", "v"), ("attn", "o"),
+    for path in (("attn", "qkv"), ("attn", "o"),
                  ("mlp", "fc1"), ("mlp", "fc2")):
         node = vlayers[path[0]][path[1]]
         node["kernel"] = quantize_tensor(node["kernel"], axis=1)

@@ -190,9 +190,32 @@ def hf_to_params(
                 "bias": lf(_stack(flat, f"{vp}.encoder.layers.{{i}}.layer_norm1.bias", vl)),
             },
             "attn": {
-                "q": vattn("q"),
-                "k": vattn("k"),
-                "v": vattn("v"),
+                # q/k/v fused along the output dim on load (bitwise-identical
+                # math; mirrors the decoder's qkv fusion below).
+                "qkv": {
+                    "kernel": lf(np.concatenate(
+                        [
+                            _stack_linear(
+                                flat,
+                                f"{vp}.encoder.layers.{{i}}.self_attn.{n}_proj.weight",
+                                vl,
+                            )
+                            for n in ("q", "k", "v")
+                        ],
+                        axis=2,
+                    )),
+                    "bias": lf(np.concatenate(
+                        [
+                            _stack(
+                                flat,
+                                f"{vp}.encoder.layers.{{i}}.self_attn.{n}_proj.bias",
+                                vl,
+                            )
+                            for n in ("q", "k", "v")
+                        ],
+                        axis=1,
+                    )),
+                },
                 "o": vattn("out"),
             },
             "ln2": {

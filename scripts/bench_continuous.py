@@ -1,12 +1,16 @@
 """Measured: continuous (slot-level) batching vs window coalescing on TPU.
 
-Workload: 16 greedy requests with mixed token budgets (16..128), the shape of
-real serving traffic. Window coalescing (serving.batch_generate, two windows
+Workload: 32 greedy requests with mixed token budgets (16..128), the shape of
+real serving traffic. Window coalescing (serving.batch_generate, four windows
 of 8) convoys every request behind its window's longest; the continuous
-engine (8 slots) backfills freed slots immediately.
+engine (8 slots) backfills freed slots immediately, with joins overlapped
+under running decode chunks.
 
 Reports aggregate useful tokens/sec (sum of requested tokens / wall time)
-for both, plus the ratio. Writes continuous_bench.json.
+for both, plus the ratio. ``--quant int8`` runs the same workload over the
+int8 weight-only decoder (the production serving config; token streams stay
+identical to bf16). Writes continuous_bench.json (bf16) /
+continuous_bench_int8.json.
 """
 from __future__ import annotations
 
@@ -36,6 +40,12 @@ def log(m):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quant", choices=["none", "int8"], default="none")
+    args = ap.parse_args()
+
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -47,6 +57,11 @@ def main():
     cfg = align_config(cfg, proc)
     params = paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype)
     jax.block_until_ready(params)
+    if args.quant == "int8":
+        from paligemma_tpu.quantization import quantize_params
+
+        params = quantize_params(params, llm_only=True)
+        jax.block_until_ready(params)
     log("params ready")
 
     from PIL import Image
@@ -104,6 +119,7 @@ def main():
     log(f"coalesced: {wall_w:.2f}s -> {agg_w:.1f} useful tok/s aggregate")
 
     out = {
+        "quant": args.quant,
         "useful_tokens": useful,
         "continuous_s": round(wall_c, 2),
         "continuous_agg_tok_s": round(agg_c, 1),
@@ -111,7 +127,11 @@ def main():
         "coalesced_agg_tok_s": round(agg_w, 1),
         "speedup": round(agg_c / agg_w, 3),
     }
-    with open("continuous_bench.json", "w") as f:
+    name = (
+        "continuous_bench.json" if args.quant == "none"
+        else f"continuous_bench_{args.quant}.json"
+    )
+    with open(name, "w") as f:
         json.dump(out, f, indent=2)
     log(json.dumps(out))
 

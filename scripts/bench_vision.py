@@ -1,0 +1,101 @@
+"""Measured: vision-tower (SigLIP So400m) forward time on TPU, pipelined.
+
+Times the 27-layer ViT at batch 1 (the prefill cost center: REPORT.md puts
+it at 5.5 ms of the 13.7 ms true prefill) by pipelining N dispatches against
+ONE closing fence — the only honest protocol over the tunneled backend
+(a single host fetch costs ~25 ms, CLAUDE.md). Also times the full prefill
+for the before/after of kernel changes (e.g. the fused vision qkv).
+
+Writes vision_bench.json.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from paligemma_tpu import generation  # noqa: E402
+from paligemma_tpu.config import paligemma_3b_pt_224, tiny_config  # noqa: E402
+from paligemma_tpu.models import paligemma, siglip  # noqa: E402
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+PIPELINE_N = 16
+REPEATS = 3
+
+
+def timed_pipeline(fn, fence, repeats=REPEATS, n=PIPELINE_N):
+    """Best-of-repeats ms per call: n dispatches, one closing fence."""
+    best = float("inf")
+    for _ in range(repeats):
+        fence()  # drain anything in flight
+        t0 = time.time()
+        for _ in range(n):
+            out = fn()
+        _ = jax.tree.leaves(out)[0]
+        fence_val = float(jnp.sum(_[..., :1]))  # tiny host fetch = hard fence
+        del fence_val
+        best = min(best, (time.time() - t0) * 1000 / n)
+    return best
+
+
+def main():
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    params = paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype)
+    jax.block_until_ready(params)
+    log("params ready")
+
+    size = cfg.vision_config.image_size
+    pix = jax.random.normal(jax.random.PRNGKey(2), (1, 3, size, size), dtype)
+
+    vis_fn = jax.jit(
+        lambda p, x: siglip.apply(p, cfg.vision_config, x)
+    )
+    out = vis_fn(params["vision"], pix)  # compile
+    jax.block_until_ready(out)
+
+    def fence():
+        _ = float(jnp.sum(out[..., :1]))
+
+    vis_ms = timed_pipeline(lambda: vis_fn(params["vision"], pix), fence)
+    log(f"vision tower: {vis_ms:.2f} ms")
+
+    # full prefill for context
+    n_img = cfg.vision_config.num_image_tokens
+    ids = jnp.concatenate(
+        [
+            jnp.full((1, n_img), cfg.image_token_index, jnp.int32),
+            jnp.full((1, 16), 7, jnp.int32),
+        ],
+        axis=1,
+    )
+    cache = generation.make_cache(cfg, 1, ids.shape[1], 16, dtype)
+    logits, _ = generation._prefill_jit(params, cfg, ids, pix, cache)
+    jax.block_until_ready(logits)
+
+    def pf():
+        out, _ = generation._prefill_jit(params, cfg, ids, pix, cache)
+        return out
+
+    pf_ms = timed_pipeline(pf, fence)
+    log(f"full prefill: {pf_ms:.2f} ms")
+
+    result = {"vision_ms": round(vis_ms, 2), "prefill_ms": round(pf_ms, 2)}
+    with open("vision_bench.json", "w") as f:
+        json.dump(result, f, indent=2)
+    log(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ def test_quantized_params_smaller(params):
 
 def test_llm_only_leaves_vision_bf16(params):
     qp = quantize_params(params, llm_only=True)
-    assert not isinstance(qp["vision"]["layers"]["attn"]["q"]["kernel"], QTensor)
+    assert not isinstance(qp["vision"]["layers"]["attn"]["qkv"]["kernel"], QTensor)
     assert isinstance(qp["llm"]["layers"]["qkv"], QTensor)
     assert isinstance(qp["llm"]["embed"], QTensor)
 
