@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import itertools
 from collections import deque
-from typing import List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,13 +51,17 @@ def slot_decode_steps(
     topps: jnp.ndarray,  # (B,) per-slot nucleus p
     key: jax.Array,
     n_steps: int,
+    lora=None,  # optional per-slot adapters {q,k,v: {a (L,B,D,r), b (L,B,r,o)}}
 ):
     """``n_steps`` decode steps for all slots as ONE compiled program.
 
     Every slot advances by n_steps; per-slot positions/writes/visibility are
     driven by ``lengths``; per-slot sampling params are traced (B,) arrays so
-    mixed greedy/sampled requests share the one program. Returns (tokens
-    (B, n_steps), last token (B, 1), cache, lengths + n_steps).
+    mixed greedy/sampled requests share the one program. With ``lora``, each
+    slot additionally applies its own decoder adapter (scale pre-folded into
+    b; an all-zeros adapter row is an exact no-op, so base and adapted
+    requests mix freely). Returns (tokens (B, n_steps), last token (B, 1),
+    cache, lengths + n_steps).
     """
 
     def body(carry, step_key):
@@ -66,7 +70,7 @@ def slot_decode_steps(
         embeds = gemma.embed_tokens(params["llm"], tok)
         hidden, cache = gemma.forward(
             params["llm"], cfg.text_config, embeds, positions,
-            cache=cache, row_lengths=lens,
+            cache=cache, row_lengths=lens, lora=lora,
         )
         logits = gemma.logits(params["llm"], hidden)[:, -1, :]
         nxt = sample_rows(logits, step_key, temps, topps)
@@ -75,6 +79,22 @@ def slot_decode_steps(
     keys = jax.random.split(key, n_steps)
     (tok, cache, lengths), toks = jax.lax.scan(body, (token, cache, lengths), keys)
     return toks.T, tok, cache, lengths
+
+
+@jax.jit
+def _stack_group_adapters(group):
+    """Tuple of per-request adapter trees ({q,k,v: {a (L,D,r), b (L,r,o)}})
+    -> one group tree with a row axis ({...: a (L, G, D, r)}), ONE dispatch."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *group)
+
+
+@jax.jit
+def _insert_adapters(slot_lora, grouped, slots):
+    """Scatter a join group's adapter rows into the per-slot adapter arrays
+    (pad rows land in the trash row, exactly like the K/V insert)."""
+    return jax.tree.map(
+        lambda s, g: s.at[:, slots].set(g.astype(s.dtype)), slot_lora, grouped
+    )
 
 
 @jax.jit
@@ -123,6 +143,7 @@ class Request:
         max_new_tokens: int,
         temperature: float = 0.0,
         top_p: float = 0.9,
+        adapter: Optional[str] = None,
     ):
         self.id = next(Request._ids)
         self.prompt = prompt
@@ -130,6 +151,7 @@ class Request:
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature  # <= 0 -> greedy
         self.top_p = top_p
+        self.adapter = adapter  # registered LoRA adapter name, or None
         self.tokens: List[int] = []
         self.done = False
         self.error: Optional[Exception] = None
@@ -151,6 +173,12 @@ class ContinuousBatcher:
         (one compiled prefill shape); must cover image tokens + BOS + text.
       max_new_tokens: per-slot generation budget (cache sized for it).
       chunk: decode steps per dispatch; joins/evictions happen between chunks.
+      lora_rank: enable multi-tenant LoRA serving — every slot can carry a
+        different registered adapter (``register_adapter`` + ``submit(...,
+        adapter=name)``). Adapters of rank <= lora_rank share one compiled
+        program (zero-padded); requests without an adapter ride an all-zeros
+        adapter row, an exact no-op. The reference can only serve ONE merged
+        adapter per process (peft merge); this serves N concurrently.
     """
 
     def __init__(
@@ -168,6 +196,7 @@ class ContinuousBatcher:
         top_p: float = 0.9,
         eos_token_id: Optional[int] = None,
         seed: int = 0,
+        lora_rank: Optional[int] = None,
     ):
         self.params, self.cfg, self.processor = params, cfg, processor
         self.n_slots = n_slots
@@ -199,12 +228,75 @@ class ContinuousBatcher:
         self.slot_req: List[Optional[Request]] = [None] * n_slots
         self.pending: deque = deque()
         self.completed: List[Request] = []
+
+        # Multi-tenant LoRA: per-slot adapter arrays (leading layer axis so
+        # the decode scan slices them like every other stacked layer param).
+        self.lora_rank = lora_rank
+        self.slot_lora = None
+        self._adapters: Dict[str, Any] = {}
+        self._zero_adapter = None
+        if lora_rank:
+            tc = cfg.text_config
+            l, d = tc.num_hidden_layers, tc.hidden_size
+            outs = {
+                "q": tc.num_attention_heads * tc.head_dim,
+                "k": tc.num_key_value_heads * tc.head_dim,
+                "v": tc.num_key_value_heads * tc.head_dim,
+            }
+            self.slot_lora = {
+                name: {
+                    "a": jnp.zeros((l, b, d, lora_rank), jnp.float32),
+                    "b": jnp.zeros((l, b, lora_rank, out), jnp.float32),
+                }
+                for name, out in outs.items()
+            }
+            self._zero_adapter = {
+                name: {
+                    "a": jnp.zeros((l, d, lora_rank), jnp.float32),
+                    "b": jnp.zeros((l, lora_rank, out), jnp.float32),
+                }
+                for name, out in outs.items()
+            }
         # Join groups whose first tokens are still on device: fetched at the
         # next chunk boundary (a host fetch costs ~25 ms over the tunnel —
         # never pay it per request).
         self._pending_first: List = []
 
     # -- request lifecycle ---------------------------------------------------
+
+    def register_adapter(self, name: str, adapter, scale: float = 1.0) -> None:
+        """Register a trained LoRA adapter for multi-tenant serving.
+
+        ``adapter``: the pytree produced by paligemma_tpu.lora (``{"layers":
+        {q,k,v: {a (L,D,r), b (L,r,out)}}}`` or the bare layers dict);
+        ``scale`` = alpha/r (``LoraConfig.scale``). The scale is folded into
+        b here so one compiled program serves adapters with different alphas;
+        rank r <= the engine's lora_rank is zero-padded to it (exact — padded
+        rank channels contribute nothing).
+        """
+        if not self.lora_rank:
+            raise ValueError("engine built without lora_rank")
+        layers = adapter["layers"] if "layers" in adapter else adapter
+        out = {}
+        for tgt in ("q", "k", "v"):
+            a = jnp.asarray(layers[tgt]["a"], jnp.float32)
+            bb = jnp.asarray(layers[tgt]["b"], jnp.float32) * jnp.float32(scale)
+            r = a.shape[-1]
+            if r > self.lora_rank:
+                raise ValueError(
+                    f"adapter rank {r} exceeds engine lora_rank {self.lora_rank}"
+                )
+            if r < self.lora_rank:
+                pad = self.lora_rank - r
+                a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+                bb = jnp.pad(bb, ((0, 0), (0, pad), (0, 0)))
+            out[tgt] = {"a": a, "b": bb}
+        self._adapters[name] = out
+
+    def _adapter_for(self, req: Optional[Request]):
+        if req is None or req.adapter is None:
+            return self._zero_adapter
+        return self._adapters[req.adapter]
 
     def submit(
         self,
@@ -214,11 +306,17 @@ class ContinuousBatcher:
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
         do_sample: Optional[bool] = None,
+        adapter: Optional[str] = None,
     ) -> Request:
         """Queue a request. Per-request sampling params ride the slot arrays
         (mixed greedy/sampled batches share one compiled program); defaults
         come from the engine constructor. ``do_sample=False`` (or
-        temperature <= 0) means greedy."""
+        temperature <= 0) means greedy. ``adapter`` selects a registered
+        LoRA adapter for this request (engine must have ``lora_rank``)."""
+        if adapter is not None and adapter not in self._adapters:
+            raise ValueError(
+                f"unknown adapter {adapter!r}; register_adapter it first"
+            )
         if do_sample is None:
             do_sample = self.do_sample
         if temperature is None:
@@ -228,7 +326,7 @@ class ContinuousBatcher:
         eff_t = float(temperature) if (do_sample and temperature > 0) else 0.0
         req = Request(
             prompt, image, max_new_tokens or self.max_new_tokens,
-            temperature=eff_t, top_p=float(top_p),
+            temperature=eff_t, top_p=float(top_p), adapter=adapter,
         )
         if req.max_new_tokens > self.max_new_tokens:
             raise ValueError(
@@ -272,9 +370,17 @@ class ContinuousBatcher:
         temp = gemma.init_cache(
             self.cfg.text_config, g_b, self.prompt_budget, self.cache_dtype
         )
+        grouped = None
+        if self.lora_rank:
+            # One stacked group tree serves both the per-row prefill adapters
+            # and the slot scatter below (pad rows ride the zero adapter).
+            group = [self._adapter_for(req) for _, req in joiners]
+            group += [self._zero_adapter] * (g_b - g)
+            grouped = _stack_group_adapters(tuple(group))
         logits, temp = serving.batched_prefill(
             self.params, self.cfg, jnp.asarray(ids),
             jnp.asarray(pix, self.cache_dtype), jnp.asarray(valid), temp,
+            lora=grouped,
         )
         req_temps = np.zeros((g_b,), np.float32)
         req_topps = np.full((g_b,), 0.9, np.float32)
@@ -295,6 +401,10 @@ class ContinuousBatcher:
             self.temps, self.topps, jnp.asarray(valid),
             logits, sub, jnp.asarray(req_temps), jnp.asarray(req_topps),
         )
+        if grouped is not None:
+            self.slot_lora = _insert_adapters(
+                self.slot_lora, grouped, jnp.asarray(slots)
+            )
         self._pending_first.append((joiners, first))
 
     # -- scheduling ----------------------------------------------------------
@@ -360,7 +470,7 @@ class ContinuousBatcher:
         self.key, sub = jax.random.split(self.key)
         toks, self.cur_tok, self.cache, self.lengths = slot_decode_steps(
             self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
-            self.temps, self.topps, sub, self.chunk,
+            self.temps, self.topps, sub, self.chunk, self.slot_lora,
         )
         if had_active:
             self._fill_slots()  # overlapped: runs while the chunk decodes

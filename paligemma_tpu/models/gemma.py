@@ -138,19 +138,33 @@ def _lora_delta(
     Matches HF peft's LoraLayer semantics used by the reference finetune
     (SURVEY.md §2.9: r=8, alpha=16, dropout 0.1 on the A-input,
     scale = alpha/r).
+
+    Adapters may be shared across the batch (a: (D, r), b: (r, out)) or
+    per-row (a: (B, D, r), b: (B, r, out)) — the latter serves multi-tenant
+    continuous batching, where every slot can carry a different adapter
+    (paligemma_tpu.continuous). An all-zeros per-row adapter is an exact
+    no-op, so mixed adapter/base batches share one program.
     """
     xl = x
     if dropout_rate > 0.0 and key is not None:
         keep = jax.random.bernoulli(key, 1.0 - dropout_rate, x.shape)
         xl = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
-    low = jnp.einsum(
-        "btd,dr->btr", xl, adapter["a"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    out = jnp.einsum(
-        "btr,re->bte", low, adapter["b"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    a = adapter["a"].astype(x.dtype)
+    bb = adapter["b"].astype(x.dtype)
+    if a.ndim == 3:  # per-row adapters
+        low = jnp.einsum(
+            "btd,bdr->btr", xl, a, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = jnp.einsum(
+            "btr,bre->bte", low, bb, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    else:
+        low = jnp.einsum(
+            "btd,dr->btr", xl, a, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = jnp.einsum(
+            "btr,re->bte", low, bb, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     return out * jnp.asarray(scale, x.dtype)
 
 

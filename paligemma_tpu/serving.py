@@ -73,12 +73,19 @@ def pad_batch(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def batched_prefill(params, cfg: PaliGemmaConfig, input_ids, pixel_values, valid, cache):
+def batched_prefill(
+    params, cfg: PaliGemmaConfig, input_ids, pixel_values, valid, cache,
+    lora=None,
+):
     """Prefill a right-padded batch with per-row validity masking.
 
     Returns (per-row last-valid-position logits (B, V), warm cache). The
     cache's scalar length advances by the padded T; pad slots hold garbage
     K/V that decode keeps masked.
+
+    ``lora``: optional per-row decoder adapters ({q,k,v: {a (L,B,D,r),
+    b (L,B,r,out)}}, scale pre-folded into b) — multi-tenant serving where
+    each row of a join group carries its own adapter.
     """
     b, t = input_ids.shape
     image_features = paligemma.encode_image(params, cfg, pixel_values)
@@ -91,7 +98,8 @@ def batched_prefill(params, cfg: PaliGemmaConfig, input_ids, pixel_values, valid
     mask = make_length_mask(valid, batch=b)
 
     hidden, new_cache = gemma.forward(
-        params["llm"], cfg.text_config, embeds, positions, cache=cache, mask=mask
+        params["llm"], cfg.text_config, embeds, positions, cache=cache, mask=mask,
+        lora=lora,
     )
     last = jnp.take_along_axis(
         hidden, jnp.maximum(valid - 1, 0)[:, None, None].astype(jnp.int32), axis=1

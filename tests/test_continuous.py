@@ -93,6 +93,27 @@ def test_mid_flight_submit(setup):
     assert r1.tokens == oracle_tokens(params, cfg, proc, prompts[1], images[1], 6)
 
 
+def test_overlapped_join_budget_one(setup):
+    """A budget-1 request joining mid-flight (the overlapped join path) is
+    finished by its deferred first token alone; the garbage chunk tokens its
+    slot decoded before the join must be discarded, and the slot must be
+    reusable afterwards."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=2, max_new_tokens=6, chunk=2,
+        cache_dtype=jnp.float32,
+    )
+    r0 = eng.submit(prompts[0], images[0])
+    eng.step()  # r0 in flight -> the next joins overlap a running chunk
+    r1 = eng.submit(prompts[1], images[1], max_new_tokens=1)
+    r2 = eng.submit(prompts[2], images[2])  # queued behind r1's slot
+    eng.run()
+    assert r1.done and len(r1.tokens) == 1
+    assert r1.tokens == oracle_tokens(params, cfg, proc, prompts[1], images[1], 1)
+    assert r0.tokens == oracle_tokens(params, cfg, proc, prompts[0], images[0], 6)
+    assert r2.tokens == oracle_tokens(params, cfg, proc, prompts[2], images[2], 6)
+
+
 def test_budget_guard(setup):
     params, cfg, proc, prompts, images = setup
     eng = ContinuousBatcher(
