@@ -44,6 +44,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", choices=["none", "int8"], default="none")
+    ap.add_argument("--n_slots", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=16)
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -81,11 +83,12 @@ def main():
     n_img = cfg.vision_config.num_image_tokens
     budget_prompt = n_img + 48
 
-    # --- continuous, 8 slots ---
+    # --- continuous ---
     def run_continuous():
         eng = ContinuousBatcher(
-            params, cfg, proc, n_slots=8, prompt_budget=budget_prompt,
-            max_new_tokens=128, chunk=16, cache_dtype=dtype,
+            params, cfg, proc, n_slots=args.n_slots,
+            prompt_budget=budget_prompt,
+            max_new_tokens=128, chunk=args.chunk, cache_dtype=dtype,
         )
         for p, im, b in zip(prompts, images, budgets):
             eng.submit(p, im, max_new_tokens=b)
@@ -100,13 +103,15 @@ def main():
     agg_c = useful / wall_c
     log(f"continuous: {wall_c:.2f}s -> {agg_c:.1f} useful tok/s aggregate")
 
-    # --- window coalescing, two windows of 8 (server Batcher behavior) ---
+    # --- window coalescing, windows of n_slots (server Batcher behavior) ---
+    w = args.n_slots
+
     def run_coalesced():
         t0 = time.time()
-        for lo in range(0, n_req, 8):
+        for lo in range(0, n_req, w):
             serving.batch_generate(
-                params, cfg, proc, prompts[lo:lo + 8], images[lo:lo + 8],
-                max_new_tokens=max(budgets[lo:lo + 8]),
+                params, cfg, proc, prompts[lo:lo + w], images[lo:lo + w],
+                max_new_tokens=max(budgets[lo:lo + w]),
                 cache_dtype=dtype, prompt_bucket=budget_prompt,
                 return_tokens=True,
             )
@@ -120,6 +125,8 @@ def main():
 
     out = {
         "quant": args.quant,
+        "n_slots": args.n_slots,
+        "chunk": args.chunk,
         "useful_tokens": useful,
         "continuous_s": round(wall_c, 2),
         "continuous_agg_tok_s": round(agg_c, 1),
@@ -127,10 +134,10 @@ def main():
         "coalesced_agg_tok_s": round(agg_w, 1),
         "speedup": round(agg_c / agg_w, 3),
     }
-    name = (
-        "continuous_bench.json" if args.quant == "none"
-        else f"continuous_bench_{args.quant}.json"
-    )
+    tag = "" if args.quant == "none" else f"_{args.quant}"
+    if (args.n_slots, args.chunk) != (8, 16):
+        tag += f"_s{args.n_slots}c{args.chunk}"
+    name = f"continuous_bench{tag}.json"
     with open(name, "w") as f:
         json.dump(out, f, indent=2)
     log(json.dumps(out))

@@ -9,7 +9,10 @@ Endpoints:
   POST /generate           -> {"text": ..., "tokens": [...], "num_tokens": N}
       JSON body: {"prompt": str, "image_b64": base64-encoded image bytes,
                   "max_tokens": int=100, "temperature": float=0.8,
-                  "top_p": float=0.9, "do_sample": bool=false}
+                  "top_p": float=0.9, "do_sample": bool=false,
+                  "adapter": str|null}  (adapter: a LoRA adapter registered
+                  at startup with --adapter NAME=DIR; continuous mode only —
+                  every decode slot can serve a different adapter)
   POST /generate_stream    -> Server-Sent Events: one ``data: {"tokens": [...],
       "text_delta": "..."}`` event per compiled decode chunk, then
       ``data: {"done": true, "num_tokens": N}``.
@@ -248,7 +251,8 @@ class ContinuousRunner:
     """
 
     def __init__(self, engine: Engine, n_slots: int = 4, chunk: int = 8,
-                 max_new_cap: int = 256, prompt_extra: int = 64):
+                 max_new_cap: int = 256, prompt_extra: int = 64,
+                 lora_rank=None, adapters=None):
         from paligemma_tpu.continuous import ContinuousBatcher
 
         self.engine = engine
@@ -260,7 +264,13 @@ class ContinuousRunner:
             prompt_budget=n_img + prompt_extra,
             max_new_tokens=max_new_cap,
             cache_dtype=engine._act_dtype(),
+            lora_rank=lora_rank,
         )
+        # Multi-tenant LoRA: {name: (adapter_tree, scale)} registered once;
+        # requests pick one by name ("adapter" field).
+        self.adapters = sorted(adapters) if adapters else []
+        for name, (tree, scale) in (adapters or {}).items():
+            self.batcher.register_adapter(name, tree, scale)
         self.queue: "queue.Queue" = queue.Queue()
         self.waiters = {}  # continuous Request.id -> handler slot dict
         self._emitted = 0  # index into batcher.completed already delivered
@@ -276,7 +286,7 @@ class ContinuousRunner:
         return slot["result"]
 
     def submit_stream(self, prompt, image, max_tokens, temperature, top_p,
-                      do_sample):
+                      do_sample, adapter=None):
         """Yields (new_tokens, text_delta) per decode chunk — same surface as
         Engine.generate_stream, but multiplexed over the continuous slots so
         MANY streams decode concurrently instead of serializing on the
@@ -286,7 +296,7 @@ class ContinuousRunner:
             "request": {
                 "prompt": prompt, "image": image, "max_tokens": max_tokens,
                 "temperature": temperature, "top_p": top_p,
-                "do_sample": do_sample,
+                "do_sample": do_sample, "adapter": adapter,
             },
             "event": threading.Event(),
             "result": None,
@@ -341,6 +351,7 @@ class ContinuousRunner:
                         temperature=req.get("temperature"),
                         top_p=req.get("top_p"),
                         do_sample=req.get("do_sample"),
+                        adapter=req.get("adapter"),
                     )
                     sq = slot.get("stream_q")
                     if sq is not None:
@@ -472,11 +483,14 @@ def make_handler(engine: Engine, batcher=None):
             if self.path == "/healthz":
                 import jax
 
-                self._send(200, {
+                info = {
                     "status": "ok",
                     "model": engine.model_name,
                     "device": str(jax.devices()[0]),
-                })
+                }
+                if isinstance(batcher, ContinuousRunner):
+                    info["adapters"] = batcher.adapters
+                self._send(200, info)
             elif self.path in ("/", "/index.html"):
                 body = INDEX_HTML.encode()
                 self.send_response(200)
@@ -502,6 +516,22 @@ def make_handler(engine: Engine, batcher=None):
                     top_p=float(req.get("top_p", 0.9)),
                     do_sample=bool(req.get("do_sample", False)),
                 )
+                adapter = req.get("adapter")
+                if adapter is not None:
+                    # Multi-tenant LoRA rides the continuous slots only;
+                    # validate here so a bad name is a 400, while engine-side
+                    # join failures remain 500s.
+                    if not isinstance(batcher, ContinuousRunner):
+                        raise ValueError(
+                            "adapter requires the server to run with "
+                            "--continuous (and --adapter NAME=DIR)"
+                        )
+                    if adapter not in batcher.adapters:
+                        raise ValueError(
+                            f"unknown adapter {adapter!r}; registered: "
+                            f"{batcher.adapters}"
+                        )
+                    params["adapter"] = str(adapter)
                 from PIL import Image
 
                 image = Image.open(
@@ -592,6 +622,14 @@ def main(argv=None):
     p.add_argument("--max_new_cap", type=int, default=256,
                    help="continuous mode: per-slot token budget (cache is "
                         "sized statically for it)")
+    p.add_argument("--lora_rank", type=int, default=None,
+                   help="continuous mode: enable multi-tenant LoRA serving "
+                        "at this (max) adapter rank")
+    p.add_argument("--adapter", action="append", default=[],
+                   metavar="NAME=DIR",
+                   help="register a LoRA adapter directory (saved by the "
+                        "finetune path) under NAME; repeatable; requests "
+                        "select one with the 'adapter' field")
     args = p.parse_args(argv)
 
     if args.only_cpu:
@@ -615,8 +653,30 @@ def main(argv=None):
         print(f"warm-up failed: {e!r}", file=sys.stderr, flush=True)
 
     if args.continuous:
+        adapters = {}
+        lora_rank = args.lora_rank
+        for spec in args.adapter:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--adapter expects NAME=DIR, got {spec!r}")
+            from paligemma_tpu.lora import load_adapter
+
+            tree = load_adapter(path)
+            layers = tree["layers"] if "layers" in tree else tree
+            r = int(layers["q"]["a"].shape[-1])
+            scale = 1.0
+            import os
+
+            cfg_path = os.path.join(path, "adapter_config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    acfg = json.load(f)
+                scale = float(acfg.get("lora_alpha", r)) / float(acfg.get("r", r))
+            adapters[name] = (tree, scale)
+            lora_rank = max(lora_rank or 0, r)
         batcher = ContinuousRunner(
-            engine, n_slots=args.n_slots, max_new_cap=args.max_new_cap
+            engine, n_slots=args.n_slots, max_new_cap=args.max_new_cap,
+            lora_rank=lora_rank, adapters=adapters,
         )
         # Warm the slot programs (bucketed prefill + slot decode + insert).
         try:

@@ -110,14 +110,26 @@ def test_bad_requests(server):
 
 
 @pytest.fixture(scope="module")
-def continuous_server():
+def continuous_server(tmp_path_factory):
     port = 8957
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    # Save a tiny adapter for the multi-tenant LoRA surface (--adapter).
+    adir = str(tmp_path_factory.mktemp("adapter"))
+    import jax
+
+    from paligemma_tpu.config import tiny_config
+    from paligemma_tpu.lora import LoraConfig, init_lora, save_checkpoint_robust
+
+    lcfg = LoraConfig(r=2, alpha=4, dropout=0.0)
+    ad = init_lora(tiny_config(), lcfg, jax.random.PRNGKey(9))
+    save_checkpoint_robust(ad, lcfg, adir, step=0)
+
     proc = subprocess.Popen(
         [sys.executable, "server.py", "--demo", "--only_cpu",
          "--port", str(port), "--continuous", "--n_slots", "2",
-         "--max_new_cap", "32"],
+         "--max_new_cap", "32", "--adapter", f"fin={adir}"],
         cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
@@ -226,6 +238,36 @@ def test_continuous_stream_join_error_surfaces(continuous_server):
     except urllib.error.HTTPError as e:
         assert e.code == 500
         assert "prompt" in e.read().decode()
+
+
+def test_continuous_adapter_roundtrip(continuous_server):
+    """Multi-tenant LoRA over HTTP: healthz lists registered adapters, a
+    request selecting one succeeds, an unknown name is a 400."""
+    base = continuous_server
+    health = json.loads(urllib.request.urlopen(base + "/healthz").read())
+    assert health["adapters"] == ["fin"]
+
+    r = _post(base, "/generate",
+              {"prompt": "analyze", "image_b64": _b64img(7), "max_tokens": 4,
+               "adapter": "fin"})
+    out = json.loads(r.read())
+    assert out["continuous"] is True and out["num_tokens"] >= 1
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/generate",
+              {"prompt": "analyze", "image_b64": _b64img(7), "max_tokens": 4,
+               "adapter": "bogus"})
+    assert e.value.code == 400
+    assert "unknown adapter" in e.value.read().decode()
+
+
+def test_adapter_requires_continuous(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/generate",
+              {"prompt": "x", "image_b64": _b64img(1), "max_tokens": 4,
+               "adapter": "fin"})
+    assert e.value.code == 400
+    assert "continuous" in e.value.read().decode()
 
 
 def test_continuous_generate_join_error_is_500(continuous_server):
