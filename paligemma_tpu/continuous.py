@@ -88,13 +88,6 @@ def _stack_group_adapters(group):
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *group)
 
 
-@jax.jit
-def _insert_adapters(slot_lora, grouped, slots):
-    """Scatter a join group's adapter rows into the per-slot adapter arrays
-    (pad rows land in the trash row, exactly like the K/V insert)."""
-    return jax.tree.map(
-        lambda s, g: s.at[:, slots].set(g.astype(s.dtype)), slot_lora, grouped
-    )
 
 
 @jax.jit
@@ -111,6 +104,8 @@ def _insert_group(
     key: jax.Array,
     req_temps: jnp.ndarray,  # (G,) per-request temperature (<=0 greedy)
     req_topps: jnp.ndarray,  # (G,)
+    slot_lora=None,
+    grouped=None,
 ):
     """Sample a whole join group's first tokens AND scatter its prefilled K/V
     rows + lengths + tokens + sampling params into their slots in ONE
@@ -118,8 +113,11 @@ def _insert_group(
     beats window coalescing — measured in REPORT.md; sampling eagerly here
     once cost ~390 ms/join in per-op tunnel RPCs).
 
-    Returns (cache, lengths, cur_tok, temps, topps, first) with ``first``
-    (G,) int32 — the joiners' first decoded tokens, left on device."""
+    Returns (cache, lengths, cur_tok, temps, topps, first, slot_lora) with
+    ``first`` (G,) int32 — the joiners' first decoded tokens, left on device.
+    ``slot_lora``/``grouped`` (optional, None passes through): per-slot LoRA
+    adapter arrays and the group's stacked adapters — scattered here so a
+    lora-enabled join still costs ONE insert dispatch."""
     first = sample_rows(logits, key, req_temps, req_topps)
     t_b = temp.k.shape[2]
     k = cache.k.at[:, slots, :t_b].set(temp.k.astype(cache.k.dtype))
@@ -128,7 +126,15 @@ def _insert_group(
     cur_tok = cur_tok.at[slots, 0].set(first.astype(jnp.int32))
     temps = temps.at[slots].set(req_temps.astype(jnp.float32))
     topps = topps.at[slots].set(req_topps.astype(jnp.float32))
-    return KVCache(k=k, v=v, length=cache.length), lengths, cur_tok, temps, topps, first
+    if slot_lora is not None:
+        slot_lora = jax.tree.map(
+            lambda s, g: s.at[:, slots].set(g.astype(s.dtype)),
+            slot_lora, grouped,
+        )
+    return (
+        KVCache(k=k, v=v, length=cache.length),
+        lengths, cur_tok, temps, topps, first, slot_lora,
+    )
 
 
 class Request:
@@ -197,6 +203,7 @@ class ContinuousBatcher:
         eos_token_id: Optional[int] = None,
         seed: int = 0,
         lora_rank: Optional[int] = None,
+        prefill_cache_size: int = 0,
     ):
         self.params, self.cfg, self.processor = params, cfg, processor
         self.n_slots = n_slots
@@ -262,6 +269,17 @@ class ContinuousBatcher:
         # never pay it per request).
         self._pending_first: List = []
 
+        # Prefix cache: content-keyed prefill results for REPEATED identical
+        # (prompt, image, adapter) requests — a hit joins without paying the
+        # vision tower + prefill + host preprocessing (LRU of device-resident
+        # K/V + last-position logits, ~11 MB/entry at 3B/288; single-joiner
+        # groups only). Opt-in via prefill_cache_size.
+        from collections import OrderedDict
+
+        self.prefill_cache_size = prefill_cache_size
+        self._prefill_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self.prefill_cache_hits = 0
+
     # -- request lifecycle ---------------------------------------------------
 
     def register_adapter(self, name: str, adapter, scale: float = 1.0) -> None:
@@ -292,6 +310,8 @@ class ContinuousBatcher:
                 bb = jnp.pad(bb, ((0, 0), (0, pad), (0, 0)))
             out[tgt] = {"a": a, "b": bb}
         self._adapters[name] = out
+        # Re-registering a name with new weights must not serve stale K/V.
+        self._prefill_cache.clear()
 
     def _adapter_for(self, req: Optional[Request]):
         if req is None or req.adapter is None:
@@ -324,8 +344,12 @@ class ContinuousBatcher:
         if top_p is None:
             top_p = self.top_p
         eff_t = float(temperature) if (do_sample and temperature > 0) else 0.0
+        if max_new_tokens is None:
+            max_new_tokens = self.max_new_tokens
+        if max_new_tokens < 1:  # 0 is a request, not "use the default"
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new_tokens}")
         req = Request(
-            prompt, image, max_new_tokens or self.max_new_tokens,
+            prompt, image, max_new_tokens,
             temperature=eff_t, top_p=float(top_p), adapter=adapter,
         )
         if req.max_new_tokens > self.max_new_tokens:
@@ -346,6 +370,19 @@ class ContinuousBatcher:
         # are dropped by JAX semantics, its attention output is discarded, and
         # the next join's scatter resets its length and K/V rows.
 
+    def _prefill_key(self, req: Request) -> str:
+        """Content key for the prefix cache: prompt + image pixels + adapter
+        (adapters change the prompt K/V, so they key independently)."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(req.prompt.encode())
+        h.update(f"|{req.adapter or ''}|".encode())
+        im = req.image
+        h.update(f"{getattr(im, 'mode', '')}{getattr(im, 'size', '')}".encode())
+        h.update(im.tobytes() if hasattr(im, "tobytes") else np.asarray(im).tobytes())
+        return h.hexdigest()
+
     def _join_group(self, joiners: List) -> None:
         """One bucketed prefill + ONE scatter insert for a whole join group.
 
@@ -357,19 +394,7 @@ class ContinuousBatcher:
         g = len(joiners)
         g_b = 1 if g == 1 else self.n_slots
         reqs = [r for _, r in joiners]
-        ids, valid, pix, _ = serving.pad_batch(
-            self.processor,
-            [r.prompt for r in reqs], [r.image for r in reqs],
-            prompt_bucket=self.prompt_budget, batch_bucket=g_b,
-        )
-        if ids.shape[1] != self.prompt_budget:
-            raise ValueError(
-                f"prompt of {ids.shape[1]} tokens exceeds prompt_budget "
-                f"{self.prompt_budget}"
-            )
-        temp = gemma.init_cache(
-            self.cfg.text_config, g_b, self.prompt_budget, self.cache_dtype
-        )
+
         grouped = None
         if self.lora_rank:
             # One stacked group tree serves both the per-row prefill adapters
@@ -377,11 +402,40 @@ class ContinuousBatcher:
             group = [self._adapter_for(req) for _, req in joiners]
             group += [self._zero_adapter] * (g_b - g)
             grouped = _stack_group_adapters(tuple(group))
-        logits, temp = serving.batched_prefill(
-            self.params, self.cfg, jnp.asarray(ids),
-            jnp.asarray(pix, self.cache_dtype), jnp.asarray(valid), temp,
-            lora=grouped,
-        )
+
+        key_c = self._prefill_key(reqs[0]) if (
+            g_b == 1 and self.prefill_cache_size
+        ) else None
+        hit = self._prefill_cache.get(key_c) if key_c else None
+        if hit is not None:
+            valid, logits, temp = hit
+            self._prefill_cache.move_to_end(key_c)
+            self.prefill_cache_hits += 1
+        else:
+            ids, valid, pix, _ = serving.pad_batch(
+                self.processor,
+                [r.prompt for r in reqs], [r.image for r in reqs],
+                prompt_bucket=self.prompt_budget, batch_bucket=g_b,
+            )
+            if ids.shape[1] != self.prompt_budget:
+                raise ValueError(
+                    f"prompt of {ids.shape[1]} tokens exceeds prompt_budget "
+                    f"{self.prompt_budget}"
+                )
+            temp = gemma.init_cache(
+                self.cfg.text_config, g_b, self.prompt_budget, self.cache_dtype
+            )
+            logits, temp = serving.batched_prefill(
+                self.params, self.cfg, jnp.asarray(ids),
+                jnp.asarray(pix, self.cache_dtype), jnp.asarray(valid), temp,
+                lora=grouped,
+            )
+            if key_c is not None:
+                # Device-resident entry (temp K/V + last logits); the insert
+                # only READS from them, so reuse across joins is safe.
+                self._prefill_cache[key_c] = (valid, logits, temp)
+                while len(self._prefill_cache) > self.prefill_cache_size:
+                    self._prefill_cache.popitem(last=False)
         req_temps = np.zeros((g_b,), np.float32)
         req_topps = np.full((g_b,), 0.9, np.float32)
         for i, (_, req) in enumerate(joiners):
@@ -395,16 +449,15 @@ class ContinuousBatcher:
             self.slot_req[slot] = req
         (
             self.cache, self.lengths, self.cur_tok, self.temps, self.topps,
-            first,
+            first, slot_lora,
         ) = _insert_group(
             self.cache, temp, jnp.asarray(slots), self.lengths, self.cur_tok,
             self.temps, self.topps, jnp.asarray(valid),
             logits, sub, jnp.asarray(req_temps), jnp.asarray(req_topps),
+            slot_lora=self.slot_lora, grouped=grouped,
         )
-        if grouped is not None:
-            self.slot_lora = _insert_adapters(
-                self.slot_lora, grouped, jnp.asarray(slots)
-            )
+        if slot_lora is not None:
+            self.slot_lora = slot_lora
         self._pending_first.append((joiners, first))
 
     # -- scheduling ----------------------------------------------------------

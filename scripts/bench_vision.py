@@ -32,17 +32,25 @@ PIPELINE_N = 16
 REPEATS = 3
 
 
-def timed_pipeline(fn, fence, repeats=REPEATS, n=PIPELINE_N):
-    """Best-of-repeats ms per call: n dispatches, one closing fence."""
+def timed_pipeline(fn, repeats=REPEATS, n=PIPELINE_N):
+    """Best-of-repeats ms per call: n dispatches, one closing fence.
+
+    Drains by hard-fetching one fresh fn() output before each window —
+    block_until_ready returns at enqueue-ack on this backend (CLAUDE.md), so
+    fetching a stale array would NOT wait out in-flight warm-up work."""
+
+    def fetch(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(leaf[..., :1]))  # tiny host fetch = hard fence
+
     best = float("inf")
     for _ in range(repeats):
-        fence()  # drain anything in flight
+        fetch(fn())  # true drain: everything enqueued before this is done
         t0 = time.time()
+        out = None
         for _ in range(n):
             out = fn()
-        _ = jax.tree.leaves(out)[0]
-        fence_val = float(jnp.sum(_[..., :1]))  # tiny host fetch = hard fence
-        del fence_val
+        fetch(out)
         best = min(best, (time.time() - t0) * 1000 / n)
     return best
 
@@ -62,13 +70,9 @@ def main():
     vis_fn = jax.jit(
         lambda p, x: siglip.apply(p, cfg.vision_config, x)
     )
-    out = vis_fn(params["vision"], pix)  # compile
-    jax.block_until_ready(out)
+    jax.block_until_ready(vis_fn(params["vision"], pix))  # compile
 
-    def fence():
-        _ = float(jnp.sum(out[..., :1]))
-
-    vis_ms = timed_pipeline(lambda: vis_fn(params["vision"], pix), fence)
+    vis_ms = timed_pipeline(lambda: vis_fn(params["vision"], pix))
     log(f"vision tower: {vis_ms:.2f} ms")
 
     # full prefill for context
@@ -88,7 +92,7 @@ def main():
         out, _ = generation._prefill_jit(params, cfg, ids, pix, cache)
         return out
 
-    pf_ms = timed_pipeline(pf, fence)
+    pf_ms = timed_pipeline(pf)
     log(f"full prefill: {pf_ms:.2f} ms")
 
     result = {"vision_ms": round(vis_ms, 2), "prefill_ms": round(pf_ms, 2)}

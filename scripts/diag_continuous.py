@@ -74,16 +74,15 @@ def main():
 
         eng._fill_slots = fill
 
-        # break down _join_group internals
-        jg_stats = {"pad": 0.0, "asarray": 0.0, "prefill": 0.0, "sample": 0.0,
+        # break down _join_group internals (kept in lockstep with
+        # continuous._join_group — sampling now lives INSIDE the insert)
+        jg_stats = {"pad": 0.0, "asarray": 0.0, "prefill": 0.0,
                     "insert": 0.0, "cache": 0.0}
-        orig_join = eng._join_group
 
         def join_group(joiners):
             from paligemma_tpu import serving as S
-            from paligemma_tpu.models import gemma as G
             from paligemma_tpu.continuous import _insert_group as INS
-            import paligemma_tpu.continuous as CC
+            from paligemma_tpu.models import gemma as G
 
             g = len(joiners)
             g_b = 1 if g == 1 else eng.n_slots
@@ -112,18 +111,15 @@ def main():
                 req_temps[i] = req.temperature
                 req_topps[i] = req.top_p
             eng.key, sub = jax.random.split(eng.key)
-            from paligemma_tpu.ops.sampling import sample_rows
-            first = sample_rows(logits, sub, jnp.asarray(req_temps), jnp.asarray(req_topps))
-            jg_stats["sample"] += time.time() - t0
-            t0 = time.time()
             slots = np.full((g_b,), eng.trash_row, np.int32)
             for i, (slot, req) in enumerate(joiners):
                 slots[i] = slot
                 eng.slot_req[slot] = req
-            (eng.cache, eng.lengths, eng.cur_tok, eng.temps, eng.topps) = INS(
+            (eng.cache, eng.lengths, eng.cur_tok, eng.temps, eng.topps,
+             first, _) = INS(
                 eng.cache, temp, jnp.asarray(slots), eng.lengths, eng.cur_tok,
                 eng.temps, eng.topps, jnp.asarray(valid),
-                first.astype(jnp.int32), jnp.asarray(req_temps), jnp.asarray(req_topps),
+                logits, sub, jnp.asarray(req_temps), jnp.asarray(req_topps),
             )
             jg_stats["insert"] += time.time() - t0
             eng._pending_first.append((joiners, first))
@@ -138,8 +134,6 @@ def main():
 
         C.slot_decode_steps = decode
 
-        orig_asarray = np.asarray
-
         for p, im, b in zip(prompts, images, budgets):
             eng.submit(p, im, max_new_tokens=b)
         t0 = time.time()
@@ -153,6 +147,10 @@ def main():
                 break
         wall = time.time() - t0
         C.slot_decode_steps = orig_decode
+        errs = [r for r in eng.completed if r.error is not None]
+        toks = sum(len(r.tokens) for r in eng.completed)
+        assert not errs, f"{len(errs)} requests errored: {errs[0].error!r}"
+        assert toks > 0, "no tokens decoded — instrumentation out of sync?"
         log(f"{label}: wall {wall:.2f}s steps {stats['steps']} joins {stats['joins']}")
         log(f"  fill(host) {stats['fill']:.2f}s dispatch {stats['decode_dispatch']:.2f}s")
         st = sorted(step_times)

@@ -252,7 +252,7 @@ class ContinuousRunner:
 
     def __init__(self, engine: Engine, n_slots: int = 4, chunk: int = 8,
                  max_new_cap: int = 256, prompt_extra: int = 64,
-                 lora_rank=None, adapters=None):
+                 lora_rank=None, adapters=None, prefill_cache=0):
         from paligemma_tpu.continuous import ContinuousBatcher
 
         self.engine = engine
@@ -265,6 +265,7 @@ class ContinuousRunner:
             max_new_tokens=max_new_cap,
             cache_dtype=engine._act_dtype(),
             lora_rank=lora_rank,
+            prefill_cache_size=prefill_cache,
         )
         # Multi-tenant LoRA: {name: (adapter_tree, scale)} registered once;
         # requests pick one by name ("adapter" field).
@@ -516,6 +517,8 @@ def make_handler(engine: Engine, batcher=None):
                     top_p=float(req.get("top_p", 0.9)),
                     do_sample=bool(req.get("do_sample", False)),
                 )
+                if params["max_tokens"] < 1:
+                    raise ValueError("max_tokens must be >= 1")
                 adapter = req.get("adapter")
                 if adapter is not None:
                     # Multi-tenant LoRA rides the continuous slots only;
@@ -630,6 +633,11 @@ def main(argv=None):
                    help="register a LoRA adapter directory (saved by the "
                         "finetune path) under NAME; repeatable; requests "
                         "select one with the 'adapter' field")
+    p.add_argument("--prefill_cache", type=int, default=0,
+                   help="continuous mode: LRU size of the content-keyed "
+                        "prefix cache — repeated identical (prompt, image, "
+                        "adapter) requests skip the vision tower + prefill "
+                        "(~11 MB HBM per entry at 3B/288)")
     args = p.parse_args(argv)
 
     if args.only_cpu:
@@ -677,6 +685,7 @@ def main(argv=None):
         batcher = ContinuousRunner(
             engine, n_slots=args.n_slots, max_new_cap=args.max_new_cap,
             lora_rank=lora_rank, adapters=adapters,
+            prefill_cache=args.prefill_cache,
         )
         # Warm the slot programs (bucketed prefill + slot decode + insert).
         try:

@@ -169,6 +169,73 @@ def test_streaming_hook_and_cancellation(setup):
     assert len(r1.tokens) <= produced + 1
 
 
+def test_prefill_cache_hit_identity_and_eviction(setup):
+    """A repeated identical (prompt, image) request joins from the prefix
+    cache — same tokens, no second prefill — and LRU eviction works."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=1, max_new_tokens=5, chunk=2,
+        cache_dtype=jnp.float32, prefill_cache_size=1,
+    )
+    calls = []
+    from paligemma_tpu import serving as S
+    orig = S.batched_prefill
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    S.batched_prefill = counting
+    try:
+        r1 = eng.submit(prompts[0], images[0])
+        eng.run()
+        n_first = len(calls)
+        r2 = eng.submit(prompts[0], images[0])  # identical -> cache hit
+        eng.run()
+        assert len(calls) == n_first  # no new prefill
+        assert eng.prefill_cache_hits == 1
+        assert r2.tokens == r1.tokens == oracle_tokens(
+            params, cfg, proc, prompts[0], images[0], 5
+        )
+        # Different image -> miss; cache_size=1 evicts the old entry.
+        eng.submit(prompts[0], images[1])
+        eng.run()
+        assert len(calls) == n_first + 1
+        eng.submit(prompts[0], images[0])  # evicted -> prefills again
+        eng.run()
+        assert len(calls) == n_first + 2
+        assert eng.prefill_cache_hits == 1
+    finally:
+        S.batched_prefill = orig
+
+
+def test_prefill_cache_keys_on_adapter(setup):
+    """Same prompt+image under different adapters must NOT share cached
+    prompt K/V (adapters change the prefill)."""
+    params, cfg, proc, prompts, images = setup
+    from paligemma_tpu.lora import LoraConfig, init_lora
+
+    lcfg = LoraConfig(r=2, alpha=4, dropout=0.0)
+    ad = init_lora(cfg, lcfg, jax.random.PRNGKey(5))
+    ad["layers"]["q"]["b"] = (
+        jax.random.normal(jax.random.PRNGKey(6), ad["layers"]["q"]["b"].shape)
+        * 0.8
+    )
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=1, max_new_tokens=5, chunk=2,
+        cache_dtype=jnp.float32, lora_rank=2, prefill_cache_size=4,
+    )
+    eng.register_adapter("fin", ad, lcfg.scale)
+    r_base = eng.submit(prompts[0], images[0])
+    eng.run()
+    r_ad = eng.submit(prompts[0], images[0], adapter="fin")
+    eng.run()
+    assert eng.prefill_cache_hits == 0  # different keys, no cross-hit
+    # Both decode from their own prefill; base matches the plain oracle.
+    assert r_base.tokens == oracle_tokens(params, cfg, proc, prompts[0], images[0], 5)
+    assert r_ad.done and len(r_ad.tokens) >= 1
+
+
 def test_cancel_while_queued(setup):
     """A request cancelled before it ever joins a slot completes without
     decoding a single token."""
