@@ -175,8 +175,12 @@ class ContinuousBatcher:
 
     Args:
       n_slots: decode batch width (static — one compiled decode shape).
-      prompt_budget: every prompt is right-padded to exactly this many tokens
-        (one compiled prefill shape); must cover image tokens + BOS + text.
+      prompt_budget: prompt length bucket(s). An int keeps one compiled
+        prefill shape (every prompt right-padded to it); a sequence of ints
+        buckets each join group to the smallest budget that covers it, so
+        short prompts don't pay the longest prompt's prefill and long
+        prompts aren't rejected (compiled shapes: budgets x {1, n_slots}).
+        Must cover image tokens + BOS + text.
       max_new_tokens: per-slot generation budget (cache sized for it).
       chunk: decode steps per dispatch; joins/evictions happen between chunks.
       lora_rank: enable multi-tenant LoRA serving — every slot can carry a
@@ -193,7 +197,7 @@ class ContinuousBatcher:
         cfg: PaliGemmaConfig,
         processor,
         n_slots: int = 4,
-        prompt_budget: Optional[int] = None,
+        prompt_budget: Optional[object] = None,  # int | sequence of ints
         max_new_tokens: int = 64,
         chunk: int = 8,
         cache_dtype=jnp.bfloat16,
@@ -208,7 +212,15 @@ class ContinuousBatcher:
         self.params, self.cfg, self.processor = params, cfg, processor
         self.n_slots = n_slots
         n_img = cfg.vision_config.num_image_tokens
-        self.prompt_budget = prompt_budget or (n_img + 32)
+        if prompt_budget is None:
+            prompt_budget = n_img + 32
+        buckets = (
+            (int(prompt_budget),) if isinstance(prompt_budget, int)
+            else tuple(sorted(int(b) for b in prompt_budget))
+        )
+        assert buckets, "prompt_budget must be an int or a non-empty sequence"
+        self.prompt_budgets = buckets
+        self.prompt_budget = buckets[-1]  # largest: sizes the cache
         self.max_new_tokens = max_new_tokens
         self.chunk = chunk
         self.cache_dtype = cache_dtype
@@ -412,18 +424,25 @@ class ContinuousBatcher:
             self._prefill_cache.move_to_end(key_c)
             self.prefill_cache_hits += 1
         else:
+            # Tokenize to the group's natural length, then round up to the
+            # smallest prompt bucket that covers it (compiled shapes stay a
+            # small static set: budgets x batch buckets).
             ids, valid, pix, _ = serving.pad_batch(
                 self.processor,
                 [r.prompt for r in reqs], [r.image for r in reqs],
-                prompt_bucket=self.prompt_budget, batch_bucket=g_b,
+                batch_bucket=g_b,
             )
-            if ids.shape[1] != self.prompt_budget:
+            t = ids.shape[1]
+            bucket = next((b for b in self.prompt_budgets if b >= t), None)
+            if bucket is None:
                 raise ValueError(
-                    f"prompt of {ids.shape[1]} tokens exceeds prompt_budget "
+                    f"prompt of {t} tokens exceeds the largest prompt budget "
                     f"{self.prompt_budget}"
                 )
+            if t < bucket:
+                ids = np.pad(ids, ((0, 0), (0, bucket - t)))
             temp = gemma.init_cache(
-                self.cfg.text_config, g_b, self.prompt_budget, self.cache_dtype
+                self.cfg.text_config, g_b, bucket, self.cache_dtype
             )
             logits, temp = serving.batched_prefill(
                 self.params, self.cfg, jnp.asarray(ids),

@@ -56,8 +56,17 @@ def timed_pipeline(fn, repeats=REPEATS, n=PIPELINE_N):
 
 
 def main():
+    import argparse
+
+    from paligemma_tpu.config import paligemma_3b_pt_448, paligemma_3b_pt_896
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, choices=[224, 448, 896], default=224)
+    args = ap.parse_args()
+    mk = {224: paligemma_3b_pt_224, 448: paligemma_3b_pt_448,
+          896: paligemma_3b_pt_896}[args.res]
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()
+    cfg = mk() if on_tpu else tiny_config()
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     params = paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype)
@@ -95,8 +104,10 @@ def main():
     pf_ms = timed_pipeline(pf)
     log(f"full prefill: {pf_ms:.2f} ms")
 
-    result = {"vision_ms": round(vis_ms, 2), "prefill_ms": round(pf_ms, 2)}
-    with open("vision_bench.json", "w") as f:
+    result = {"res": args.res, "vision_ms": round(vis_ms, 2),
+              "prefill_ms": round(pf_ms, 2)}
+    name = "vision_bench.json" if args.res == 224 else f"vision_bench_{args.res}.json"
+    with open(name, "w") as f:
         json.dump(result, f, indent=2)
     log(json.dumps(result))
 

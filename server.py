@@ -251,17 +251,19 @@ class ContinuousRunner:
     """
 
     def __init__(self, engine: Engine, n_slots: int = 4, chunk: int = 8,
-                 max_new_cap: int = 256, prompt_extra: int = 64,
+                 max_new_cap: int = 256, prompt_extra=(64,),
                  lora_rank=None, adapters=None, prefill_cache=0):
         from paligemma_tpu.continuous import ContinuousBatcher
 
         self.engine = engine
         n_img = engine.cfg.vision_config.num_image_tokens
         self.max_new_cap = max_new_cap
+        if isinstance(prompt_extra, int):
+            prompt_extra = (prompt_extra,)
         self.batcher = ContinuousBatcher(
             engine.params, engine.cfg, engine.processor,
             n_slots=n_slots, chunk=chunk,
-            prompt_budget=n_img + prompt_extra,
+            prompt_budget=[n_img + e for e in prompt_extra],
             max_new_tokens=max_new_cap,
             cache_dtype=engine._act_dtype(),
             lora_rank=lora_rank,
@@ -633,6 +635,12 @@ def main(argv=None):
                    help="register a LoRA adapter directory (saved by the "
                         "finetune path) under NAME; repeatable; requests "
                         "select one with the 'adapter' field")
+    p.add_argument("--prompt_buckets", type=str, default="64",
+                   help="continuous mode: comma-separated TEXT-token budgets "
+                        "(on top of the image tokens); a join group prefills "
+                        "at the smallest bucket covering its prompts, so "
+                        "long prompts work without making short ones pay "
+                        "for them")
     p.add_argument("--prefill_cache", type=int, default=0,
                    help="continuous mode: LRU size of the content-keyed "
                         "prefix cache — repeated identical (prompt, image, "
@@ -684,6 +692,9 @@ def main(argv=None):
             lora_rank = max(lora_rank or 0, r)
         batcher = ContinuousRunner(
             engine, n_slots=args.n_slots, max_new_cap=args.max_new_cap,
+            prompt_extra=tuple(
+                int(x) for x in args.prompt_buckets.split(",") if x.strip()
+            ),
             lora_rank=lora_rank, adapters=adapters,
             prefill_cache=args.prefill_cache,
         )

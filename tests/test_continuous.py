@@ -169,6 +169,42 @@ def test_streaming_hook_and_cancellation(setup):
     assert len(r1.tokens) <= produced + 1
 
 
+def test_prompt_buckets(setup):
+    """Multi-bucket prompt budgets: a short prompt prefills at the small
+    bucket, a long one at the large bucket, both token-identical to batch-1;
+    beyond the largest bucket is a clear error."""
+    params, cfg, proc, prompts, images = setup
+    n_img = cfg.vision_config.num_image_tokens
+    long_prompt = "a financial document with many words " * 3
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=2, max_new_tokens=5, chunk=2,
+        cache_dtype=jnp.float32,
+        prompt_budget=[n_img + 8, n_img + 160],
+    )
+    r_short = eng.submit(prompts[0], images[0])      # fits the small bucket
+    eng.run()
+    r_long = eng.submit(long_prompt, images[1])      # needs the large one
+    eng.run()
+    assert r_short.tokens == oracle_tokens(
+        params, cfg, proc, prompts[0], images[0], 5
+    )
+    assert r_long.tokens == oracle_tokens(
+        params, cfg, proc, long_prompt, images[1], 5
+    )
+
+    # Mixed-length join group: the whole group rides the covering bucket.
+    r_s2 = eng.submit(prompts[1], images[0])
+    r_l2 = eng.submit(long_prompt, images[1])
+    eng.run()
+    assert r_s2.tokens == oracle_tokens(params, cfg, proc, prompts[1], images[0], 5)
+    assert r_l2.tokens == r_long.tokens
+
+    r_huge = eng.submit("x" * 4000, images[0])
+    eng.run()
+    assert r_huge.error is not None
+    assert "exceeds the largest prompt budget" in str(r_huge.error)
+
+
 def test_prefill_cache_hit_identity_and_eviction(setup):
     """A repeated identical (prompt, image) request joins from the prefix
     cache — same tokens, no second prefill — and LRU eviction works."""
