@@ -161,6 +161,65 @@ def q4_matmul(
     return out.reshape(b, t, o)
 
 
+def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref):
+    """One (out-block, d-block) step of the int8 weight-only GEMV: convert
+    the int8 block to the activation dtype in VMEM, one MXU dot, fp32
+    accumulation across d-blocks, per-output-channel scales at the end."""
+    db = pl.program_id(1)
+
+    @pl.when(db == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]  # (T, block_d)
+    w = q_ref[...].astype(x.dtype)  # (block_d, block_o) int8 -> bf16/f32
+    acc_ref[:] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(db == pl.num_programs(1) - 1)
+    def _finalize():
+        o_ref[:] = (acc_ref[:] * s_ref[0:1, :]).astype(o_ref.dtype)
+
+
+def q8_matmul(
+    x: jnp.ndarray,
+    q: jnp.ndarray,
+    scale: jnp.ndarray,
+    block_o: int = 0,
+    block_d: int = 0,
+) -> jnp.ndarray:
+    """x (B, T, D) @ int8 (D, O) with fp32 per-output-channel scales.
+
+    Explicitly tiled Pallas analog of ``quantization.qproj`` (XLA einsum) —
+    exists to measure whether hand tiling beats XLA's scheduling on the
+    weight-streaming-bound decode GEMVs (scripts/bench_q8.py; see REPORT.md
+    for the verdict)."""
+    b, t, d = x.shape
+    o = q.shape[-1]
+    block_o = block_o or (512 if o % 512 == 0 else o)
+    block_d = block_d or (2048 if d % 2048 == 0 else d)
+    assert o % block_o == 0 and d % block_d == 0, (o, block_o, d, block_d)
+    x2 = x.reshape(b * t, d)
+    s2 = scale.reshape(1, o).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        _q8_kernel,
+        grid=(o // block_o, d // block_d),
+        in_specs=[
+            pl.BlockSpec((b * t, block_d), lambda i, j: (0, j)),
+            pl.BlockSpec((block_d, block_o), lambda i, j: (j, i)),
+            pl.BlockSpec((1, block_o), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((b * t, block_o), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * t, o), x.dtype),
+        scratch_shapes=[pltpu.VMEM((b * t, block_o), jnp.float32)],
+        interpret=_interpret(),
+    )(x2, q, s2)
+
+    return out.reshape(b, t, o)
+
+
 def q4_matmul_xla(
     x: jnp.ndarray,
     packed: jnp.ndarray,

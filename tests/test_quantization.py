@@ -123,6 +123,21 @@ def test_q4_matmul_matches_xla_and_dequant():
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_q8_matmul_matches_qproj():
+    from paligemma_tpu.ops.pallas_quant import q8_matmul
+    from paligemma_tpu.quantization import QTensor, qproj
+
+    rng = np.random.RandomState(2)
+    d, o, bt = 64, 1024, 2
+    q = rng.randint(-127, 128, (d, o)).astype(np.int8)
+    scale = (rng.rand(1, o).astype(np.float32) + 0.5) * 0.01
+    x = jnp.asarray(rng.randn(1, bt, d).astype(np.float32))
+
+    ref = qproj(x, QTensor(q=jnp.asarray(q), scale=jnp.asarray(scale)))
+    out = q8_matmul(x, jnp.asarray(q), jnp.asarray(scale), 512, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_int4_model_forward_close(params, cfg, sample_inputs):
     """Two bars: (a) the in-kernel unpack path must match a dense
     dequantized-weights forward almost exactly (kernel correctness); (b) the
