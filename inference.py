@@ -78,9 +78,21 @@ def test_inference(
     return prompt + decoded
 
 
-def load_for_cli(model_path, demo: bool):
+def load_for_cli(model_path, demo: bool, quant: str = "none"):
+    """Load (params, cfg, processor); ``quant="int8"`` converts the decoder
+    to the int8 weight-only serving config after load (the bench.py headline
+    path — token-identical to bf16 on the measured window, REPORT.md)."""
     import jax
     import jax.numpy as jnp
+
+    def maybe_quant(params):
+        if quant == "int8":
+            from paligemma_tpu.quantization import quantize_params
+
+            params = quantize_params(params, llm_only=True)
+        elif quant not in (None, "none"):
+            raise ValueError(f"unknown quant mode {quant!r}")
+        return params
 
     if demo or not model_path:
         from paligemma_tpu.config import tiny_config
@@ -94,11 +106,12 @@ def load_for_cli(model_path, demo: bool):
 
         cfg = align_config(cfg, processor)  # image id + BOTH vocab sizes
         params = paligemma.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
-        return params, cfg, processor
+        return maybe_quant(params), cfg, processor
 
     from paligemma_tpu.utils.checkpoint import load_model
 
     params, cfg = load_model(model_path, dtype=jnp.bfloat16)
+    params = maybe_quant(params)
     try:
         from transformers import AutoTokenizer
 
@@ -122,6 +135,10 @@ def main(argv=None):
     p.add_argument("--do_sample", type=str2bool, default=False)
     p.add_argument("--only_cpu", type=str2bool, default=False)
     p.add_argument("--demo", action="store_true", help="tiny random model + byte tokenizer")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="int8: weight-only quantized decoder (the serving "
+                        "config — ~2x decode throughput, token-identical "
+                        "to bf16 on the measured window)")
     args = p.parse_args(argv)
 
     import jax
@@ -131,7 +148,7 @@ def main(argv=None):
     print("Device in use: ", jax.devices()[0])
 
     print("Loading model")
-    params, cfg, processor = load_for_cli(args.model_path, args.demo)
+    params, cfg, processor = load_for_cli(args.model_path, args.demo, args.quant)
 
     if args.prompt is None or args.image_file_path is None:
         print("error: --prompt and --image_file_path are required", file=sys.stderr)

@@ -39,14 +39,18 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 class Engine:
     """Loaded model + processor with a serial inference lock."""
 
-    def __init__(self, model_path=None, demo=True):
+    def __init__(self, model_path=None, demo=True, quant="none"):
         from inference import load_for_cli
 
-        self.params, self.cfg, self.processor = load_for_cli(model_path, demo)
+        self.params, self.cfg, self.processor = load_for_cli(
+            model_path, demo, quant
+        )
         from paligemma_tpu.processing import assert_aligned
 
         assert_aligned(self.processor, self.cfg)
-        self.model_name = model_path or "demo-tiny-random"
+        self.model_name = (model_path or "demo-tiny-random") + (
+            f"+{quant}" if quant not in (None, "none") else ""
+        )
         self.lock = threading.Lock()
 
     def generate(self, prompt, image, max_tokens, temperature, top_p, do_sample):
@@ -635,6 +639,10 @@ def main(argv=None):
                    help="register a LoRA adapter directory (saved by the "
                         "finetune path) under NAME; repeatable; requests "
                         "select one with the 'adapter' field")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="int8: weight-only quantized decoder — the measured "
+                        "production serving config (272.7 tok/s single-"
+                        "stream vs 143 bf16 at 3B on v5e-1, REPORT.md)")
     p.add_argument("--prompt_buckets", type=str, default="64",
                    help="continuous mode: comma-separated TEXT-token budgets "
                         "(on top of the image tokens); a join group prefills "
@@ -653,7 +661,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    engine = Engine(args.model_path, demo=args.demo or not args.model_path)
+    engine = Engine(
+        args.model_path, demo=args.demo or not args.model_path,
+        quant=args.quant,
+    )
 
     # Warm-up: pay the jit compiles before accepting traffic so the first
     # request is fast.

@@ -39,6 +39,17 @@ def test_inference_cli_demo(image_path):
     assert "what is this?" in r.stdout  # prompt + decoded
 
 
+def test_inference_cli_demo_int8(image_path):
+    """--quant int8 serves the quantized decoder end-to-end from the CLI."""
+    r = run_cli([
+        "inference.py", "--demo", "--only_cpu=True", "--quant=int8",
+        "--prompt=total assets?", f"--image_file_path={image_path}",
+        "--max_tokens_to_generate=4",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "total assets?" in r.stdout
+
+
 def test_inference_cli_missing_args():
     r = run_cli(["inference.py", "--demo", "--only_cpu=True"])
     assert r.returncode == 2
