@@ -45,6 +45,13 @@ def main(argv=None):
     p.add_argument("--lora_dropout", type=float, default=0.1)
     p.add_argument("--demo", action="store_true",
                    help="tiny random model + byte tokenizer (no checkpoint)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="no training: report mean CE loss + perplexity over "
+                        "the dataset (with --adapter_dir, through the saved "
+                        "adapter) — closes the train -> eval loop the "
+                        "reference leaves open")
+    p.add_argument("--adapter_dir", type=str, default=None,
+                   help="eval: saved adapter directory to apply (unmerged)")
     args = p.parse_args(argv)
 
     import jax
@@ -113,6 +120,50 @@ def main(argv=None):
     print(f"Dataset: {len(dataset)} samples")
 
     lcfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha, dropout=args.lora_dropout)
+
+    if args.eval_only:
+        import functools
+
+        import numpy as np
+
+        from paligemma_tpu.models import paligemma as pg
+
+        adapter = None
+        if args.adapter_dir:
+            import json
+            import os
+
+            adapter = lora_lib.load_adapter(args.adapter_dir)
+            r = int(adapter["layers"]["q"]["a"].shape[-1])
+            alpha = args.lora_alpha
+            acfg_path = os.path.join(args.adapter_dir, "adapter_config.json")
+            if os.path.exists(acfg_path):
+                with open(acfg_path) as f:
+                    acfg = json.load(f)
+                r = int(acfg.get("r", r))
+                alpha = float(acfg.get("lora_alpha", alpha))
+            lcfg = LoraConfig(r=r, alpha=alpha, dropout=0.0)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def eval_loss(params, adapter, batch):
+            return pg.loss_fn(
+                params, cfg, batch["input_ids"], batch["pixel_values"],
+                batch["labels"], valid_len=batch.get("valid_len"),
+                lora=adapter, lora_scale=lcfg.scale, lora_dropout=0.0,
+            )
+
+        losses = []
+        for batch in dataset.batches(args.batch_size, shuffle=False, epochs=1):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            losses.append(float(eval_loss(params, adapter, batch)))
+        mean = float(np.mean(losses))
+        print(
+            f"Eval: {len(losses)} batches | mean loss {mean:.4f} | "
+            f"perplexity {float(np.exp(min(mean, 20.0))):.2f}"
+            + (f" | adapter {args.adapter_dir}" if args.adapter_dir else "")
+        )
+        return 0
+
     adapter, losses = lora_lib.train(
         params,
         cfg,

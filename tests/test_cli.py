@@ -50,6 +50,63 @@ def test_inference_cli_demo_int8(image_path):
     assert "total assets?" in r.stdout
 
 
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    import pandas as pd
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ds")
+    images = root / "images"
+    images.mkdir()
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(3):
+        Image.fromarray(
+            rng.randint(0, 255, (32, 32, 3), np.uint8)
+        ).save(str(images / f"doc{i}_p0.png"))
+        rows.append({
+            "source_identifier": f"doc{i}",
+            "FEATURE_page_indexes": [0],
+            "FEATURE_full_prompt": f"what is in document {i}?",
+            "template_id": "t1",
+        })
+    parquet = root / "data.parquet"
+    pd.DataFrame(rows).to_parquet(parquet)
+    return str(parquet), str(images), str(root / "adapter_out")
+
+
+def test_finetune_then_eval_cli(tiny_dataset):
+    """Train a demo LoRA adapter via the CLI, then --eval_only both with and
+    without it — the full train -> eval workflow end to end."""
+    parquet, images, out = tiny_dataset
+    r = run_cli([
+        "finetune_paligemma_lora.py", "--demo", "--only_cpu=True",
+        f"--parquet_file={parquet}", f"--images_folder={images}",
+        f"--output_dir={out}", "--batch_size=1", "--accum_steps=1",
+        "--max_length=80", "--save_every_n_steps=0", "--max_samples=3",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Adapter saved" in r.stdout
+    assert os.path.exists(os.path.join(out, "adapter_model.safetensors"))
+
+    r = run_cli([
+        "finetune_paligemma_lora.py", "--demo", "--only_cpu=True",
+        f"--parquet_file={parquet}", f"--images_folder={images}",
+        "--eval_only", "--batch_size=1", "--max_length=80", "--max_samples=3",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mean loss" in r.stdout and "perplexity" in r.stdout
+
+    r = run_cli([
+        "finetune_paligemma_lora.py", "--demo", "--only_cpu=True",
+        f"--parquet_file={parquet}", f"--images_folder={images}",
+        "--eval_only", f"--adapter_dir={out}",
+        "--batch_size=1", "--max_length=80", "--max_samples=3",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "adapter" in r.stdout and "mean loss" in r.stdout
+
+
 def test_inference_cli_missing_args():
     r = run_cli(["inference.py", "--demo", "--only_cpu=True"])
     assert r.returncode == 2
