@@ -41,4 +41,11 @@ def test_figures_from_measured(tmp_path):
 def test_figures_fallback_to_published(tmp_path):
     out = tmp_path / "figs"
     visualize_results.main(["--results", str(tmp_path / "missing.json"), "--out_dir", str(out)])
-    assert len(os.listdir(out)) == 10
+    files = os.listdir(out)
+    # The 5 reference-protocol figures always render (PDF+PNG each); the
+    # serving figure (fig6) additionally renders when measured
+    # continuous_bench*.json files exist in the cwd.
+    for i in range(1, 6):
+        assert any(f.startswith(f"fig{i}_") and f.endswith(".pdf") for f in files)
+        assert any(f.startswith(f"fig{i}_") and f.endswith(".png") for f in files)
+    assert len(files) in (10, 12)

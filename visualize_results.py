@@ -168,6 +168,39 @@ def main(argv=None):
                "Latency (ms/token)", "Log-Log Scaling Behavior",
                "fig5_loglog", loglog=True)
 
+    # fig6: serving engines on the mixed-length workload (beyond the
+    # reference's figure set — reads the measured continuous_bench*.json).
+    serving_files = [
+        ("bf16\n8 slots", "continuous_bench.json"),
+        ("int8\n8 slots", "continuous_bench_int8.json"),
+        ("int8\n16 slots", "continuous_bench_int8_s16c32.json"),
+    ]
+    rows = []
+    for label, fname in serving_files:
+        if os.path.exists(fname):
+            with open(fname) as f:
+                d = json.load(f)
+            rows.append((label, d["coalesced_agg_tok_s"], d["continuous_agg_tok_s"]))
+    if rows:
+        fig, ax = plt.subplots()
+        xs = np.arange(len(rows))
+        w = 0.38
+        ax.bar(xs - w / 2, [r[1] for r in rows], w, label="Window coalescing",
+               color=COLOR_NOKV)
+        ax.bar(xs + w / 2, [r[2] for r in rows], w, label="Continuous batching",
+               color=COLOR_KV)
+        for i, (_, c, k) in enumerate(rows):
+            ax.text(i - w / 2, c, f"{c:.0f}", ha="center", va="bottom", fontsize=8)
+            ax.text(i + w / 2, k, f"{k:.0f}", ha="center", va="bottom", fontsize=8)
+        ax.set_xticks(xs)
+        ax.set_xticklabels([r[0] for r in rows], fontsize=9)
+        ax.set_ylabel("Useful tokens/sec (aggregate)")
+        ax.set_title("Serving Engines, Mixed-Length Workload")
+        ax.legend(frameon=False, fontsize=8)
+        ax.grid(True, alpha=0.3, axis="y")
+        fig.tight_layout()
+        save(fig, "fig6_serving")
+
     print("\nResults summary:")
     print(f"  - Speedup range: {speedup.min():.1f}x to {speedup.max():.1f}x")
     kv_ms = np.asarray(data["kv_ms"], dtype=float)
