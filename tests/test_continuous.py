@@ -272,6 +272,33 @@ def test_prefill_cache_keys_on_adapter(setup):
     assert r_ad.done and len(r_ad.tokens) >= 1
 
 
+def test_continuous_engine_tp_sharded(setup):
+    """The continuous engine over an 8-device TP mesh: GSPMD propagates the
+    param/cache shardings through the slot decode, group prefill, and insert
+    programs (collectives over the model axis), and every request stays
+    token-identical to the unsharded engine."""
+    from paligemma_tpu.parallel import sharding as shd
+    from paligemma_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+
+    params, cfg, proc, prompts, images = setup
+
+    def run(params_in):
+        eng = ContinuousBatcher(
+            params_in, cfg, proc, n_slots=2, max_new_tokens=6, chunk=2,
+            cache_dtype=jnp.float32,
+        )
+        reqs = [eng.submit(p, im) for p, im in zip(prompts[:3], images[:3])]
+        eng.run()
+        return [r.tokens for r in reqs]
+
+    base = run(params)
+    mesh = make_mesh(data=1, model=8)
+    sparams = jax.device_put(params, shd.param_shardings(cfg, mesh))
+    spec = tuple(sparams["llm"]["layers"]["qkv"].sharding.spec)
+    assert MODEL_AXIS in spec, spec  # genuinely model-sharded, not replicated
+    assert run(sparams) == base
+
+
 def test_cancel_while_queued(setup):
     """A request cancelled before it ever joins a slot completes without
     decoding a single token."""
