@@ -152,7 +152,14 @@ def main() -> None:
 
         pf_q, tps_q, mspt_q, toks_q = measure(qparams, cfg, ids, pix, dtype)
         log(f"int8: prefill {pf_q:.1f} ms | {mspt_q:.2f} ms/token = {tps_q:.1f} tok/s")
-        log(f"peak HBM {peak_memory_mb():.0f} MB")
+        mb = peak_memory_mb()
+        if mb:
+            log(f"peak HBM {mb:.0f} MB")
+        else:  # tunneled PJRT exposes no allocator stats (utils/memory.py)
+            from paligemma_tpu.utils.memory import estimate_live_mb
+
+            log(f"live params {estimate_live_mb(qparams):.0f} MB (analytic "
+                "lower bound; backend reports no memory_stats)")
 
         identical = toks_bf == toks_q
         log(f"int8 vs bf16 token identity over {len(toks_bf)} tokens: {identical}")

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--quant", choices=["none", "int8"], default="none")
     ap.add_argument("--n_slots", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--n_req", type=int, default=32,
+                    help="workload size; raise it to give wide-slot configs "
+                         "a real backlog (32 over 16 slots is only ~2 waves)")
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -69,7 +72,7 @@ def main():
     from PIL import Image
 
     rng = np.random.RandomState(0)
-    n_req = 32
+    n_req = args.n_req
     # Shuffled mixed-length traffic: the arrival order real serving sees.
     # (In-order equal pairs would give coalescing the same critical path —
     # the win comes from backfilling freed slots, measured here.)
@@ -127,6 +130,7 @@ def main():
         "quant": args.quant,
         "n_slots": args.n_slots,
         "chunk": args.chunk,
+        "n_req": n_req,
         "useful_tokens": useful,
         "continuous_s": round(wall_c, 2),
         "continuous_agg_tok_s": round(agg_c, 1),
@@ -137,6 +141,8 @@ def main():
     tag = "" if args.quant == "none" else f"_{args.quant}"
     if (args.n_slots, args.chunk) != (8, 16):
         tag += f"_s{args.n_slots}c{args.chunk}"
+    if args.n_req != 32:
+        tag += f"_r{args.n_req}"
     name = f"continuous_bench{tag}.json"
     with open(name, "w") as f:
         json.dump(out, f, indent=2)
