@@ -62,7 +62,15 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, choices=[224, 448, 896], default=224)
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the Pallas flash-attention kernel in the tower "
+                         "(at 4096 patches the fp32 score materialization is "
+                         "~1 GB/layer — the shape where flash should win)")
     args = ap.parse_args()
+    if args.pallas:
+        from paligemma_tpu import runtime
+
+        runtime.use_pallas_attention = True
     mk = {224: paligemma_3b_pt_224, 448: paligemma_3b_pt_448,
           896: paligemma_3b_pt_896}[args.res]
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -104,9 +112,10 @@ def main():
     pf_ms = timed_pipeline(pf)
     log(f"full prefill: {pf_ms:.2f} ms")
 
-    result = {"res": args.res, "vision_ms": round(vis_ms, 2),
-              "prefill_ms": round(pf_ms, 2)}
-    name = "vision_bench.json" if args.res == 224 else f"vision_bench_{args.res}.json"
+    result = {"res": args.res, "pallas": bool(args.pallas),
+              "vision_ms": round(vis_ms, 2), "prefill_ms": round(pf_ms, 2)}
+    name = "vision_bench" + ("" if args.res == 224 else f"_{args.res}")
+    name += ("_pallas" if args.pallas else "") + ".json"
     with open(name, "w") as f:
         json.dump(result, f, indent=2)
     log(json.dumps(result))
