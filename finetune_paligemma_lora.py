@@ -152,13 +152,44 @@ def main(argv=None):
                 lora=adapter, lora_scale=lcfg.scale, lora_dropout=0.0,
             )
 
-        losses = []
-        for batch in dataset.batches(args.batch_size, shuffle=False, epochs=1):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            losses.append(float(eval_loss(params, adapter, batch)))
-        mean = float(np.mean(losses))
+        # Exact token-weighted mean over ALL samples: the tail batch is
+        # padded (static shapes = one compiled eval program) with repeated
+        # samples whose labels are masked to ignore_index, so they carry
+        # zero weight. dataset.batches() drops ragged tails and would both
+        # skip samples and NaN on datasets smaller than batch_size.
+        n = len(dataset)
+        if n == 0:
+            print("error: dataset is empty", file=sys.stderr)
+            return 2
+        bsz = args.batch_size
+        total_nll, total_tok, n_batches = 0.0, 0, 0
+        for start in range(0, n, bsz):
+            take = list(range(start, min(start + bsz, n)))
+            samples = [dataset[i] for i in take]
+            samples += [samples[0]] * (bsz - len(take))  # pad rows
+            batch = {
+                k: np.stack([s[k] for s in samples], axis=0)
+                for k in samples[0]
+            }
+            if len(take) < bsz:
+                batch["labels"] = batch["labels"].copy()
+                batch["labels"][len(take):] = cfg.ignore_index
+            # Per-token weight of this batch = its valid SHIFTED labels
+            # (exactly loss_fn's denominator).
+            ntok = int((batch["labels"][:, 1:] != cfg.ignore_index).sum())
+            if ntok == 0:
+                continue
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            total_nll += float(eval_loss(params, adapter, jb)) * ntok
+            total_tok += ntok
+            n_batches += 1
+        if total_tok == 0:
+            print("error: no valid label tokens in the dataset", file=sys.stderr)
+            return 2
+        mean = total_nll / total_tok
         print(
-            f"Eval: {len(losses)} batches | mean loss {mean:.4f} | "
+            f"Eval: {n} samples / {n_batches} batches | "
+            f"mean loss {mean:.4f} over {total_tok} tokens | "
             f"perplexity {float(np.exp(min(mean, 20.0))):.2f}"
             + (f" | adapter {args.adapter_dir}" if args.adapter_dir else "")
         )

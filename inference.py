@@ -59,6 +59,11 @@ def test_inference(
     pix = jnp.asarray(inputs["pixel_values"])
     if cache_dtype is None:
         cache_dtype = jax.tree.leaves(params)[0].dtype
+        if jnp.issubdtype(cache_dtype, jnp.integer):
+            # Quantized params: the first leaf is an int8 q-tensor, which
+            # must NOT become the activation/KV dtype (int8 pixels/cache =
+            # garbage numerics). Same guard as server.Engine._act_dtype.
+            cache_dtype = jnp.bfloat16
     pix = pix.astype(cache_dtype)
 
     tokens = generation.generate_chunked(

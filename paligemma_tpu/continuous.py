@@ -218,7 +218,10 @@ class ContinuousBatcher:
             (int(prompt_budget),) if isinstance(prompt_budget, int)
             else tuple(sorted(int(b) for b in prompt_budget))
         )
-        assert buckets, "prompt_budget must be an int or a non-empty sequence"
+        if not buckets:
+            raise ValueError(
+                "prompt_budget must be an int or a non-empty sequence of ints"
+            )
         self.prompt_budgets = buckets
         self.prompt_budget = buckets[-1]  # largest: sizes the cache
         self.max_new_tokens = max_new_tokens

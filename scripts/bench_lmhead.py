@@ -14,12 +14,14 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+
+from _bench_util import make_looped as _make_looped  # noqa: E402
+from _bench_util import timed_looped  # noqa: E402
 
 V, D = 257152, 2048
 LOOP_N = 32
@@ -29,30 +31,12 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def make_looped(matmul, n=LOOP_N):
-    @jax.jit
-    def looped(x, w, s):
-        def body(i, acc):
-            xi = x * (1.0 + 1e-9 * i.astype(x.dtype))
-            y = matmul(xi, w, s)
-            return acc + jnp.sum(y[..., :8].astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    return looped
+def make_looped(matmul):
+    return _make_looped(matmul, LOOP_N)
 
 
-def timed(fn, n=3, repeats=3):
-    best = float("inf")
-    for _ in range(repeats):
-        float(jnp.sum(fn()))  # drain
-        t0 = time.time()
-        out = None
-        for _ in range(n):
-            out = fn()
-        float(jnp.sum(out))
-        best = min(best, (time.time() - t0) * 1000 / (n * LOOP_N))
-    return best
+def timed(fn):
+    return timed_looped(fn, LOOP_N, n=3)
 
 
 def main():

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -29,41 +28,19 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+from _bench_util import make_looped as _make_looped  # noqa: E402
+from _bench_util import timed_looped  # noqa: E402
+
 LOOP_N = 64  # matmuls per compiled program: isolates kernel time from the
 # ~1 ms/dispatch floor a naive pipelined microbenchmark measures instead
 
 
-def make_looped(matmul, n=LOOP_N):
-    """One jitted program running ``matmul`` n times with a data dependence
-    on the loop index (stops XLA from CSE-ing the loop-invariant call) —
-    the weight streams from HBM every iteration, like the decode scan."""
-
-    @jax.jit
-    def looped(x, q, s):
-        def body(i, acc):
-            xi = x * (1.0 + 1e-9 * i.astype(x.dtype))
-            y = matmul(xi, q, s)
-            return acc + jnp.sum(y[..., :8].astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    return looped
+def make_looped(matmul):
+    return _make_looped(matmul, LOOP_N)
 
 
-def timed(fn, n=4, repeats=3):
-    def fetch(out):
-        return float(jnp.sum(out))
-
-    best = float("inf")
-    for _ in range(repeats):
-        fetch(fn())  # drain
-        t0 = time.time()
-        out = None
-        for _ in range(n):
-            out = fn()
-        fetch(out)
-        best = min(best, (time.time() - t0) * 1000 / (n * LOOP_N))
-    return best
+def timed(fn):
+    return timed_looped(fn, LOOP_N)
 
 
 def main():

@@ -643,7 +643,15 @@ def main(argv=None):
                    help="int8: weight-only quantized decoder — the measured "
                         "production serving config (272.7 tok/s single-"
                         "stream vs 143 bf16 at 3B on v5e-1, REPORT.md)")
-    p.add_argument("--prompt_buckets", type=str, default="64",
+    def _buckets(spec: str):
+        vals = tuple(int(x) for x in spec.split(",") if x.strip())
+        if not vals or any(v < 1 for v in vals):
+            raise argparse.ArgumentTypeError(
+                f"expected comma-separated positive ints, got {spec!r}"
+            )
+        return vals
+
+    p.add_argument("--prompt_buckets", type=_buckets, default=(64,),
                    help="continuous mode: comma-separated TEXT-token budgets "
                         "(on top of the image tokens); a join group prefills "
                         "at the smallest bucket covering its prompts, so "
@@ -703,23 +711,42 @@ def main(argv=None):
             lora_rank = max(lora_rank or 0, r)
         batcher = ContinuousRunner(
             engine, n_slots=args.n_slots, max_new_cap=args.max_new_cap,
-            prompt_extra=tuple(
-                int(x) for x in args.prompt_buckets.split(",") if x.strip()
-            ),
+            prompt_extra=args.prompt_buckets,
             lora_rank=lora_rank, adapters=adapters,
             prefill_cache=args.prefill_cache,
         )
-        # Warm the slot programs (bucketed prefill + slot decode + insert).
+        # Warm the slot programs (bucketed prefill + slot decode + insert)
+        # for EVERY prompt bucket — a shape compiled mid-traffic stalls all
+        # active slots for minutes on the remote-compile backend. The prompt
+        # lengths are best-effort (exact for the byte tokenizer, approximate
+        # for subword tokenizers).
         try:
             from PIL import Image
 
             size = engine.cfg.vision_config.image_size
-            batcher.submit({
-                "prompt": "warmup", "image": Image.new("RGB", (size, size)),
-                "max_tokens": 8, "temperature": 0.0, "top_p": 0.9,
-                "do_sample": False,
-            })
-            print("continuous warm-up complete", file=sys.stderr, flush=True)
+            for extra in args.prompt_buckets:
+                req = {
+                    "prompt": "w" * max(1, extra - 2),
+                    "image": Image.new("RGB", (size, size)),
+                    "max_tokens": 8, "temperature": 0.0, "top_p": 0.9,
+                    "do_sample": False,
+                }
+                batcher.submit(dict(req))  # batch-1 join shape
+                # Group-join shape (batch n_slots): concurrent submits into
+                # an idle engine join as one group (best-effort — the loop
+                # drains the queue in one gulp when they enqueue together;
+                # a straggler just reuses the already-warm batch-1 shape).
+                ts = [
+                    threading.Thread(target=batcher.submit, args=(dict(req),))
+                    for _ in range(args.n_slots)
+                ]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+            print("continuous warm-up complete "
+                  f"({len(args.prompt_buckets)} bucket(s), solo + group "
+                  "join shapes)", file=sys.stderr, flush=True)
         except Exception as e:  # pragma: no cover
             print(f"continuous warm-up failed: {e!r}", file=sys.stderr, flush=True)
     else:

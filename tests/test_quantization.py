@@ -123,6 +123,27 @@ def test_q4_matmul_matches_xla_and_dequant():
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_cli_cache_dtype_guard_for_quantized_params(tmp_path):
+    """test_inference must NOT infer an int8 activation/KV dtype from a
+    quantized param tree (the first leaf is the int8 embed q-tensor):
+    default-dtype output == explicit-bf16 output, token for token."""
+    import jax
+    from PIL import Image
+
+    from inference import load_for_cli, test_inference
+
+    params, cfg, proc = load_for_cli(None, True, "int8")
+    assert jnp.issubdtype(jax.tree.leaves(params)[0].dtype, jnp.integer)
+    img = tmp_path / "img.png"
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (48, 64, 3), np.uint8)
+    ).save(str(img))
+    args = (params, cfg, proc, "what?", str(img), 4, 0.0, 0.9, False)
+    assert test_inference(*args) == test_inference(
+        *args, cache_dtype=jnp.bfloat16
+    )
+
+
 def test_q8_matmul_matches_qproj():
     from paligemma_tpu.ops.pallas_quant import q8_matmul
     from paligemma_tpu.quantization import QTensor, qproj

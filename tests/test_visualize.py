@@ -43,9 +43,11 @@ def test_figures_fallback_to_published(tmp_path):
     visualize_results.main(["--results", str(tmp_path / "missing.json"), "--out_dir", str(out)])
     files = os.listdir(out)
     # The 5 reference-protocol figures always render (PDF+PNG each); the
-    # serving figure (fig6) additionally renders when measured
-    # continuous_bench*.json files exist in the cwd.
+    # serving figure (fig6) additionally renders exactly when measured
+    # continuous_bench*.json files exist in --serving_dir (repo root here).
     for i in range(1, 6):
         assert any(f.startswith(f"fig{i}_") and f.endswith(".pdf") for f in files)
         assert any(f.startswith(f"fig{i}_") and f.endswith(".png") for f in files)
-    assert len(files) in (10, 12)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    has_serving = os.path.exists(os.path.join(repo, "continuous_bench.json"))
+    assert len(files) == (12 if has_serving else 10)

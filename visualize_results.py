@@ -84,6 +84,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--results", default="ablation_results/summary_statistics.json")
     p.add_argument("--out_dir", default="figures")
+    p.add_argument("--serving_dir",
+                   default=os.path.dirname(os.path.abspath(__file__)),
+                   help="directory holding continuous_bench*.json for the "
+                        "serving figure (default: the repo root, so fig6 "
+                        "renders regardless of cwd)")
     args = p.parse_args(argv)
 
     import matplotlib
@@ -177,8 +182,9 @@ def main(argv=None):
     ]
     rows = []
     for label, fname in serving_files:
-        if os.path.exists(fname):
-            with open(fname) as f:
+        path = os.path.join(args.serving_dir, fname)
+        if os.path.exists(path):
+            with open(path) as f:
                 d = json.load(f)
             rows.append((label, d["coalesced_agg_tok_s"], d["continuous_agg_tok_s"]))
     if rows:
