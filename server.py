@@ -450,10 +450,18 @@ INDEX_HTML = """<!doctype html>
  <label>top-p <input id="topp" type="number" step="0.05" value="0.9"></label>
  <label>sample <input id="sample" type="checkbox" style="width:auto"></label>
 </div>
+<label id="adrow" hidden>adapter
+ <select id="adapter"><option value="">(base model)</option></select></label>
 <button id="go">Analyze</button>
 <h3>PaliGemma Insight</h3><div id="out"></div>
 <script>
 let b64=null;
+// Registered LoRA adapters (server --adapter NAME=DIR) populate a selector.
+fetch('/healthz').then(r=>r.json()).then(h=>{
+ if(h.adapters&&h.adapters.length){
+  for(const a of h.adapters){const o=document.createElement('option');
+   o.value=a;o.textContent=a;adapter.appendChild(o);}
+  adrow.hidden=false;}}).catch(()=>{});
 img.onchange=()=>{const f=img.files[0];const r=new FileReader();
  r.onload=()=>{b64=r.result.split(',')[1];preview.src=r.result;preview.hidden=false};
  r.readAsDataURL(f);};
@@ -462,7 +470,7 @@ go.onclick=async()=>{
  out.textContent='';go.disabled=true;
  const body=JSON.stringify({prompt:prompt.value,image_b64:b64,
    max_tokens:+maxtok.value,temperature:+temp.value,top_p:+topp.value,
-   do_sample:sample.checked});
+   do_sample:sample.checked,adapter:adapter.value||null});
  const resp=await fetch('/generate_stream',{method:'POST',body,
    headers:{'Content-Type':'application/json'}});
  if(!resp.ok){out.textContent='error: '+await resp.text();go.disabled=false;return}

@@ -69,6 +69,8 @@ def test_healthz_and_index(server):
     assert health["status"] == "ok"
     page = urllib.request.urlopen(server + "/").read().decode()
     assert "PaliGemma Analyzer" in page and "/generate_stream" in page
+    # The UI surfaces registered adapters (populated from /healthz).
+    assert 'id="adapter"' in page and "/healthz" in page
 
 
 def test_generate_batched(server):
