@@ -379,6 +379,11 @@ def main(argv=None):
     p.add_argument("--quant", choices=["none", "int8"], default="none",
                    help="int8: run the grid with weight-only-quantized decoder")
     args = p.parse_args(argv)
+    if args.smoke and args.output_dir == OUTPUT_DIR:
+        # A smoke run must never clobber the measured grid in the default
+        # results directory (results_detailed.json / summary_statistics.json
+        # are the round's published data).
+        args.output_dir = OUTPUT_DIR + "_smoke"
 
     num_runs = 2 if args.smoke else NUM_RUNS_PER_IMAGE
     lengths = [40] if args.smoke else SEQUENCE_LENGTHS
