@@ -636,6 +636,11 @@ def main(argv=None):
                         "per-request sampling params ride the slots, so "
                         "greedy and sampled traffic share one program")
     p.add_argument("--n_slots", type=int, default=4)
+    p.add_argument("--chunk", type=int, default=8,
+                   help="continuous mode: decode steps per dispatch — the "
+                        "streaming-latency vs dispatch-amortization knob "
+                        "(8 streams snappily; 16-32 measured best for "
+                        "throughput, REPORT.md)")
     p.add_argument("--max_new_cap", type=int, default=256,
                    help="continuous mode: per-slot token budget (cache is "
                         "sized statically for it)")
@@ -718,7 +723,8 @@ def main(argv=None):
             adapters[name] = (tree, scale)
             lora_rank = max(lora_rank or 0, r)
         batcher = ContinuousRunner(
-            engine, n_slots=args.n_slots, max_new_cap=args.max_new_cap,
+            engine, n_slots=args.n_slots, chunk=args.chunk,
+            max_new_cap=args.max_new_cap,
             prompt_extra=args.prompt_buckets,
             lora_rank=lora_rank, adapters=adapters,
             prefill_cache=args.prefill_cache,
