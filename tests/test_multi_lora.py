@@ -168,6 +168,32 @@ def test_adapter_reuse_after_eviction(setup):
     assert r_ad.done and len(r_ad.tokens) >= 1
 
 
+def test_adapters_compose_with_int8_base(setup):
+    """Multi-tenant adapters over an int8-quantized base (the production
+    serving config): LoRA deltas apply to the projection OUTPUTS, so a
+    QTensor qkv composes. The no-adapter request must match the plain int8
+    engine; the adapted one must decode and differ from base."""
+    from paligemma_tpu.quantization import quantize_params
+
+    params, cfg, proc, prompts, images = setup
+    qparams = quantize_params(params, llm_only=True)
+    ad, lcfg = random_adapter(cfg, r=2, seed=51, scale_b=0.9)
+
+    base = engine_tokens(qparams, cfg, proc, [(prompts[0], images[0], None)])
+    together = engine_tokens(
+        qparams, cfg, proc,
+        [(prompts[0], images[0], None), (prompts[1], images[1], "fin")],
+        n_slots=2, lora_rank=2, adapters=[("fin", ad, lcfg.scale)],
+    )
+    assert together[0] == base[0]
+    assert len(together[1]) >= 1
+    adapted_alone = engine_tokens(
+        qparams, cfg, proc, [(prompts[1], images[1], "fin")],
+        n_slots=2, lora_rank=2, adapters=[("fin", ad, lcfg.scale)],
+    )
+    assert together[1] == adapted_alone[0]
+
+
 def test_unknown_adapter_rejected(setup):
     params, cfg, proc, prompts, images = setup
     eng = ContinuousBatcher(
