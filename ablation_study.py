@@ -379,11 +379,14 @@ def main(argv=None):
     p.add_argument("--quant", choices=["none", "int8"], default="none",
                    help="int8: run the grid with weight-only-quantized decoder")
     args = p.parse_args(argv)
-    if args.smoke and args.output_dir == OUTPUT_DIR:
-        # A smoke run must never clobber the measured grid in the default
-        # results directory (results_detailed.json / summary_statistics.json
-        # are the round's published data).
-        args.output_dir = OUTPUT_DIR + "_smoke"
+    if args.smoke and not os.path.normpath(args.output_dir).endswith("_smoke"):
+        # A smoke run must never clobber measured grids (results_detailed /
+        # summary_statistics are the round's published data — this includes
+        # the int8 grid dir and any path spelling of the defaults): redirect
+        # any non-"_smoke" target.
+        args.output_dir = os.path.normpath(args.output_dir) + "_smoke"
+        print(f"[smoke] writing to {args.output_dir} "
+              "(measured grids are never overwritten by smoke runs)")
 
     num_runs = 2 if args.smoke else NUM_RUNS_PER_IMAGE
     lengths = [40] if args.smoke else SEQUENCE_LENGTHS

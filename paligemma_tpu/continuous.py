@@ -222,6 +222,10 @@ class ContinuousBatcher:
             raise ValueError(
                 "prompt_budget must be an int or a non-empty sequence of ints"
             )
+        if chunk < 1:
+            # chunk 0 would decode zero tokens per step and spin forever;
+            # negative values mis-size the cache.
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
         self.prompt_budgets = buckets
         self.prompt_budget = buckets[-1]  # largest: sizes the cache
         self.max_new_tokens = max_new_tokens

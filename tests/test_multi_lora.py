@@ -192,6 +192,10 @@ def test_adapters_compose_with_int8_base(setup):
         n_slots=2, lora_rank=2, adapters=[("fin", ad, lcfg.scale)],
     )
     assert together[1] == adapted_alone[0]
+    # The delta must actually LAND on the int8 base — a silent no-op would
+    # make the adapted stream equal the base stream for the same request.
+    base_p1 = engine_tokens(qparams, cfg, proc, [(prompts[1], images[1], None)])
+    assert together[1] != base_p1[0]
 
 
 def test_unknown_adapter_rejected(setup):
