@@ -493,9 +493,14 @@ class ContinuousBatcher:
         for slot in range(self.n_slots):
             while self.slot_req[slot] is None and self.pending:
                 req = self.pending.popleft()
-                if req.cancelled:  # client gone while queued: never join
+                if req.cancelled:  # cancelled while queued: never join
                     req.done = True
                     self.completed.append(req)
+                    if req.on_tokens is not None:
+                        # Streaming waiters learn about the cancellation (and
+                        # any eviction error, e.g. a server-side deadline)
+                        # through the hook — otherwise they would hang.
+                        req.on_tokens([], True)
                     continue
                 joiners.append((slot, req))
                 break

@@ -23,17 +23,67 @@ Run: ``python server.py [--model_path PATH | --demo] [--port 8000]
 through ``serving.batch_generate`` (micro-batching: weight streaming
 amortizes across the batch — measured 2006 tok/s aggregate at batch 8 vs
 262 single-stream at 3B); streaming requests always run single-stream.
+
+Backpressure & deadlines: at most ``--queue_depth`` requests are in flight
+(queued + running) — the next one is rejected with **429 + Retry-After**
+instead of waiting on an unbounded queue; a request that exceeds
+``--request_timeout_s`` wall clock is evicted (its decode slot frees at the
+next chunk boundary) and answered **504** (mid-SSE: a terminal ``error``
+event). Deadlines arm after warm-up so cold compiles are never evicted.
 """
 from __future__ import annotations
 
 import argparse
 import base64
+import contextlib
 import io
 import json
 import queue
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class ServerOverloaded(Exception):
+    """Request queue at capacity -> HTTP 429 + Retry-After."""
+
+    def __init__(self, depth: int):
+        super().__init__(f"request queue full (depth {depth})")
+        self.depth = depth
+
+
+class RequestTimeout(Exception):
+    """Per-request wall-clock deadline exceeded -> HTTP 504."""
+
+    def __init__(self, deadline_s: float):
+        super().__init__(f"request exceeded deadline of {deadline_s:.0f}s")
+        self.deadline_s = deadline_s
+
+
+class Admission:
+    """Bounded admission control: at most ``depth`` requests in flight
+    (queued + running) across every path; the (depth+1)-th is rejected
+    immediately with ``ServerOverloaded`` instead of waiting on an unbounded
+    queue. Shared by /generate and /generate_stream in all engine modes."""
+
+    def __init__(self, depth: int = 64, deadline_s=None):
+        self.depth = depth
+        self.deadline_s = deadline_s if deadline_s else None
+        self._n = 0
+        self._mu = threading.Lock()
+
+    @contextlib.contextmanager
+    def slot(self):
+        with self._mu:
+            if self._n >= self.depth:
+                raise ServerOverloaded(self.depth)
+            self._n += 1
+        try:
+            yield
+        finally:
+            with self._mu:
+                self._n -= 1
 
 
 class Engine:
@@ -53,7 +103,8 @@ class Engine:
         )
         self.lock = threading.Lock()
 
-    def generate(self, prompt, image, max_tokens, temperature, top_p, do_sample):
+    def generate(self, prompt, image, max_tokens, temperature, top_p, do_sample,
+                 deadline_s=None):
         import jax
         import jax.numpy as jnp
 
@@ -65,14 +116,22 @@ class Engine:
         if hasattr(dtype, "name") and dtype.name.startswith("int"):
             dtype = jnp.bfloat16
         pix = jnp.asarray(inputs["pixel_values"], dtype)
+        deadline = time.time() + deadline_s if deadline_s else None
+        tokens: list = []
         with self.lock:
-            tokens = generation.generate_chunked(
+            # Chunked stream with a deadline check between compiled chunks:
+            # one runaway max_tokens request cannot hold the engine lock past
+            # its wall-clock budget (it is evicted at the next chunk boundary).
+            for piece in generation.generate_chunked_stream(
                 self.params, self.cfg, ids, pix,
                 max_new_tokens=max_tokens,
                 eos_token_id=self.processor.tokenizer.eos_token_id,
                 do_sample=do_sample, temperature=temperature, top_p=top_p,
                 cache_dtype=dtype,
-            )
+            ):
+                tokens.extend(piece)
+                if deadline is not None and time.time() > deadline:
+                    raise RequestTimeout(deadline_s)
         text = self.processor.tokenizer.decode(tokens, skip_special_tokens=True)
         return {"text": prompt + text, "tokens": tokens, "num_tokens": len(tokens)}
 
@@ -160,19 +219,29 @@ class Batcher:
     next window.
     """
 
-    def __init__(self, engine: Engine, window_ms: float, max_batch: int = 8):
+    def __init__(self, engine: Engine, window_ms: float, max_batch: int = 8,
+                 queue_depth: int = 64, deadline_s=None):
         self.engine = engine
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
-        self.queue: "queue.Queue" = queue.Queue()
+        self.deadline_s = deadline_s if deadline_s else None
+        # Bounded: a full queue rejects with 429 instead of growing without
+        # limit (the round-2 review flagged the unbounded request path).
+        self.queue: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
     def submit(self, request: dict) -> dict:
         """Blocks until the batched result for this request is ready."""
         done = threading.Event()
-        slot = {"request": request, "event": done, "result": None}
-        self.queue.put(slot)
+        slot = {
+            "request": request, "event": done, "result": None,
+            "deadline": time.time() + self.deadline_s if self.deadline_s else None,
+        }
+        try:
+            self.queue.put_nowait(slot)
+        except queue.Full:
+            raise ServerOverloaded(self.queue.maxsize) from None
         done.wait()
         if isinstance(slot["result"], Exception):
             raise slot["result"]
@@ -197,6 +266,18 @@ class Batcher:
                     pending.append(self.queue.get(timeout=timeout))
                 except queue.Empty:
                     break
+            # Evict requests whose deadline passed while queued: they get a
+            # 504 without ever occupying a batch slot. (Once a batch is
+            # running it runs to completion — at most max_tokens chunks.)
+            now = _time.time()
+            expired = [s for s in pending
+                       if s["deadline"] is not None and now > s["deadline"]]
+            for s in expired:
+                s["result"] = RequestTimeout(self.deadline_s)
+                s["event"].set()
+            pending = [s for s in pending if s not in expired]
+            if not pending:
+                continue
             # Take the largest same-params prefix group; defer the rest.
             head_key = self._key(pending[0]["request"])
             group = [s for s in pending if self._key(s["request"]) == head_key]
@@ -256,7 +337,8 @@ class ContinuousRunner:
 
     def __init__(self, engine: Engine, n_slots: int = 4, chunk: int = 8,
                  max_new_cap: int = 256, prompt_extra=(64,),
-                 lora_rank=None, adapters=None, prefill_cache=0):
+                 lora_rank=None, adapters=None, prefill_cache=0,
+                 queue_depth: int = 64, deadline_s=None):
         from paligemma_tpu.continuous import ContinuousBatcher
 
         self.engine = engine
@@ -278,16 +360,38 @@ class ContinuousRunner:
         self.adapters = sorted(adapters) if adapters else []
         for name, (tree, scale) in (adapters or {}).items():
             self.batcher.register_adapter(name, tree, scale)
-        self.queue: "queue.Queue" = queue.Queue()
+        # Bounded: a full queue rejects with 429 instead of growing without
+        # limit (round-2 review: no unbounded queue on the request path).
+        self.queue: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+        self.deadline_s = deadline_s if deadline_s else None
         self.waiters = {}  # continuous Request.id -> handler slot dict
         self._emitted = 0  # index into batcher.completed already delivered
         threading.Thread(target=self._loop, daemon=True).start()
 
+    def _new_slot(self, request: dict, **extra) -> dict:
+        slot = {
+            "request": request, "event": threading.Event(), "result": None,
+            "deadline": time.time() + self.deadline_s if self.deadline_s else None,
+            **extra,
+        }
+        try:
+            self.queue.put_nowait(slot)
+        except queue.Full:
+            raise ServerOverloaded(self.queue.maxsize) from None
+        return slot
+
     def submit(self, request: dict) -> dict:
-        done = threading.Event()
-        slot = {"request": request, "event": done, "result": None}
-        self.queue.put(slot)
-        done.wait()
+        slot = self._new_slot(request)
+        # The engine loop delivers deadline evictions at chunk boundaries;
+        # the extra grace here only guards against a wedged backend, so the
+        # handler thread can never hang forever once deadlines are on.
+        grace = self.deadline_s * 2 + 120 if self.deadline_s else None
+        if not slot["event"].wait(timeout=grace):
+            slot["cancelled"] = True
+            creq = slot.get("creq")
+            if creq is not None:
+                creq.cancelled = True
+            raise RequestTimeout(self.deadline_s)
         if isinstance(slot["result"], Exception):
             raise slot["result"]
         return slot["result"]
@@ -299,17 +403,14 @@ class ContinuousRunner:
         MANY streams decode concurrently instead of serializing on the
         engine lock."""
         chunks: "queue.Queue" = queue.Queue()
-        slot = {
-            "request": {
+        slot = self._new_slot(
+            {
                 "prompt": prompt, "image": image, "max_tokens": max_tokens,
                 "temperature": temperature, "top_p": top_p,
                 "do_sample": do_sample, "adapter": adapter,
             },
-            "event": threading.Event(),
-            "result": None,
-            "stream_q": chunks,
-        }
-        self.queue.put(slot)
+            stream_q=chunks,
+        )
 
         tok = self.engine.processor.tokenizer
         seen, prev_text = [], ""
@@ -349,8 +450,19 @@ class ContinuousRunner:
                     items.append(self.queue.get_nowait())
                 except queue.Empty:
                     break
+            now = time.time()
             for slot in items:
                 req = slot["request"]
+                if slot["deadline"] is not None and now > slot["deadline"]:
+                    # Expired while queued: 504 without occupying a slot.
+                    err = RequestTimeout(self.deadline_s)
+                    sq = slot.get("stream_q")
+                    if sq is not None:
+                        sq.put((err, True))
+                    else:
+                        slot["result"] = err
+                        slot["event"].set()
+                    continue
                 try:
                     creq = self.batcher.submit(
                         req["prompt"], req["image"],
@@ -383,6 +495,20 @@ class ContinuousRunner:
                     else:
                         slot["result"] = e
                         slot["event"].set()
+
+            # Mid-flight deadline eviction: a request past its wall-clock
+            # budget is cancelled (its decode slot frees at the next chunk
+            # boundary) and the waiter gets a 504 instead of partial output.
+            if self.deadline_s:
+                now = time.time()
+                for slot in list(self.waiters.values()):
+                    creq = slot.get("creq")
+                    if (creq is not None and not creq.done
+                            and slot["deadline"] is not None
+                            and now > slot["deadline"]
+                            and creq.error is None):
+                        creq.error = RequestTimeout(self.deadline_s)
+                        creq.cancelled = True
 
             active = 0
             try:
@@ -484,13 +610,17 @@ go.onclick=async()=>{
 </script></body></html>"""
 
 
-def make_handler(engine: Engine, batcher=None):
+def make_handler(engine: Engine, batcher=None, admission: Admission = None):
+    admission = admission or Admission()
+
     class Handler(BaseHTTPRequestHandler):
-        def _send(self, code, payload):
+        def _send(self, code, payload, headers=None):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -563,11 +693,21 @@ def make_handler(engine: Engine, batcher=None):
                 return self._stream(prompt, image, params)
 
             try:
-                if batcher is not None:
-                    out = batcher.submit({"prompt": prompt, "image": image, **params})
-                else:
-                    out = engine.generate(prompt, image, **params)
+                with admission.slot():
+                    if batcher is not None:
+                        out = batcher.submit(
+                            {"prompt": prompt, "image": image, **params}
+                        )
+                    else:
+                        out = engine.generate(
+                            prompt, image, **params,
+                            deadline_s=admission.deadline_s,
+                        )
                 self._send(200, out)
+            except ServerOverloaded as e:
+                self._send(429, {"error": str(e)}, headers={"Retry-After": "1"})
+            except RequestTimeout as e:
+                self._send(504, {"error": str(e)})
             except Exception as e:  # surfacing engine errors as 500s
                 self._send(500, {"error": repr(e)})
 
@@ -578,41 +718,64 @@ def make_handler(engine: Engine, batcher=None):
             many clients stream concurrently instead of serializing on the
             engine lock."""
             try:
-                if isinstance(batcher, ContinuousRunner):
-                    gen = batcher.submit_stream(prompt, image, **params)
-                else:
-                    gen = engine.generate_stream(prompt, image, **params)
-                first = next(gen)  # run prefill before committing to 200
-            except StopIteration:
-                first = None
-                gen = iter(())
-            except Exception as e:
-                return self._send(500, {"error": repr(e)})
-
-            self.send_response(200)
-            self.send_header("Content-Type", "text/event-stream")
-            self.send_header("Cache-Control", "no-cache")
-            self.end_headers()
-            total = 0
-
-            def emit(piece, delta):
-                nonlocal total
-                total += len(piece)
-                payload = json.dumps({"tokens": piece, "text_delta": delta})
-                self.wfile.write(f"data: {payload}\n\n".encode())
-                self.wfile.flush()
-
+                ctx = admission.slot()
+                ctx.__enter__()
+            except ServerOverloaded as e:
+                return self._send(429, {"error": str(e)},
+                                  headers={"Retry-After": "1"})
             try:
-                if first is not None:
-                    emit(*first)
-                for piece, delta in gen:
-                    emit(piece, delta)
-                self.wfile.write(
-                    f"data: {json.dumps({'done': True, 'num_tokens': total})}\n\n".encode()
-                )
-                self.wfile.flush()
-            except (BrokenPipeError, ConnectionResetError):
-                pass  # client went away mid-stream
+                try:
+                    if isinstance(batcher, ContinuousRunner):
+                        gen = batcher.submit_stream(prompt, image, **params)
+                    else:
+                        gen = engine.generate_stream(prompt, image, **params)
+                    first = next(gen)  # run prefill before committing to 200
+                except StopIteration:
+                    first = None
+                    gen = iter(())
+                except ServerOverloaded as e:
+                    return self._send(429, {"error": str(e)},
+                                      headers={"Retry-After": "1"})
+                except RequestTimeout as e:
+                    return self._send(504, {"error": str(e)})
+                except Exception as e:
+                    return self._send(500, {"error": repr(e)})
+
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                total = 0
+
+                def emit(piece, delta):
+                    nonlocal total
+                    total += len(piece)
+                    payload = json.dumps({"tokens": piece, "text_delta": delta})
+                    self.wfile.write(f"data: {payload}\n\n".encode())
+                    self.wfile.flush()
+
+                try:
+                    if first is not None:
+                        emit(*first)
+                    for piece, delta in gen:
+                        emit(piece, delta)
+                    self.wfile.write(
+                        f"data: {json.dumps({'done': True, 'num_tokens': total})}\n\n".encode()
+                    )
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-stream
+                except Exception as e:
+                    # Mid-stream failure (e.g. a deadline eviction) after the
+                    # 200 committed: surfaced as a terminal SSE error event.
+                    try:
+                        payload = json.dumps({"error": str(e), "done": True})
+                        self.wfile.write(f"data: {payload}\n\n".encode())
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+            finally:
+                ctx.__exit__(None, None, None)
 
         def log_message(self, fmt, *args):  # route to stderr, keep stdout clean
             print(f"[server] {fmt % args}", file=sys.stderr)
@@ -670,6 +833,14 @@ def main(argv=None):
                         "at the smallest bucket covering its prompts, so "
                         "long prompts work without making short ones pay "
                         "for them")
+    p.add_argument("--queue_depth", type=int, default=64,
+                   help="max in-flight requests (queued + running); the "
+                        "(depth+1)-th gets 429 + Retry-After instead of "
+                        "waiting on an unbounded queue")
+    p.add_argument("--request_timeout_s", type=float, default=120.0,
+                   help="per-request wall-clock deadline; exceeding it "
+                        "evicts the request (decode slot freed at the next "
+                        "chunk boundary) with a 504; 0 disables")
     p.add_argument("--prefill_cache", type=int, default=0,
                    help="continuous mode: LRU size of the content-keyed "
                         "prefix cache — repeated identical (prompt, image, "
@@ -728,6 +899,10 @@ def main(argv=None):
             prompt_extra=args.prompt_buckets,
             lora_rank=lora_rank, adapters=adapters,
             prefill_cache=args.prefill_cache,
+            queue_depth=args.queue_depth,
+            # Deadline armed AFTER warm-up: the warm-up requests themselves
+            # pay multi-minute remote compiles and must not be evicted.
+            deadline_s=None,
         )
         # Warm the slot programs (bucketed prefill + slot decode + insert)
         # for EVERY prompt bucket — a shape compiled mid-traffic stalls all
@@ -765,7 +940,8 @@ def main(argv=None):
             print(f"continuous warm-up failed: {e!r}", file=sys.stderr, flush=True)
     else:
         batcher = (
-            Batcher(engine, args.batch_window_ms, args.max_batch)
+            Batcher(engine, args.batch_window_ms, args.max_batch,
+                    queue_depth=args.queue_depth, deadline_s=None)
             if args.batch_window_ms > 0
             else None
         )
@@ -785,8 +961,14 @@ def main(argv=None):
             print("batched warm-up complete", file=sys.stderr, flush=True)
         except Exception as e:  # pragma: no cover
             print(f"batched warm-up failed: {e!r}", file=sys.stderr, flush=True)
+    # Arm deadlines only now: warm-up (above) paid the compiles, so no real
+    # request should ever hit a multi-minute compile stall.
+    deadline_s = args.request_timeout_s if args.request_timeout_s > 0 else None
+    if batcher is not None:
+        batcher.deadline_s = deadline_s
+    admission = Admission(depth=args.queue_depth, deadline_s=deadline_s)
     server = ThreadingHTTPServer(
-        ("127.0.0.1", args.port), make_handler(engine, batcher)
+        ("127.0.0.1", args.port), make_handler(engine, batcher, admission)
     )
     print(f"serving on http://127.0.0.1:{args.port}", flush=True)
     server.serve_forever()

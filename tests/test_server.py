@@ -272,6 +272,87 @@ def test_adapter_requires_continuous(server):
     assert "continuous" in e.value.read().decode()
 
 
+def test_admission_unit():
+    """Admission rejects the (depth+1)-th in-flight request with 429."""
+    sys.path.insert(0, REPO)
+    from server import Admission, ServerOverloaded
+
+    adm = Admission(depth=2)
+    with adm.slot():
+        with adm.slot():
+            with pytest.raises(ServerOverloaded):
+                with adm.slot():
+                    pass
+        # one slot freed -> admissible again
+        with adm.slot():
+            pass
+
+
+@pytest.fixture(scope="module")
+def overload_server():
+    """Continuous server provisioned to overload: queue depth 1 and a 1 ms
+    per-request deadline — every admitted request must be evicted (504) and
+    every concurrent extra rejected (429 + Retry-After)."""
+    port = 8963
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "server.py", "--demo", "--only_cpu",
+         "--port", str(port), "--continuous", "--n_slots", "2",
+         "--max_new_cap", "32", "--queue_depth", "1",
+         "--request_timeout_s", "0.001"],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(base + "/healthz", timeout=5)
+            break
+        except (urllib.error.URLError, socket.timeout, ConnectionError):
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stderr.read().decode()[-2000:])
+            time.sleep(2)
+    else:
+        proc.kill()
+        raise TimeoutError("overload server did not come up")
+    yield base
+    proc.kill()
+
+
+def test_backpressure_and_deadline_under_load(overload_server):
+    """N concurrent requests > capacity: overflow gets 429 (+Retry-After),
+    admitted requests exceed the 1 ms deadline and get evicted with 504.
+    Nothing hangs and nothing returns a silent 200."""
+    base = overload_server
+    codes, retry_after = [], []
+    barrier = threading.Barrier(8)
+
+    def worker(i):
+        barrier.wait()
+        try:
+            with _post(base, "/generate",
+                       {"prompt": f"load {i}", "image_b64": _b64img(i),
+                        "max_tokens": 32}, timeout=60) as r:
+                codes.append(r.status)
+        except urllib.error.HTTPError as e:
+            codes.append(e.code)
+            if e.code == 429:
+                retry_after.append(e.headers.get("Retry-After"))
+            e.read()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(codes) == 8, f"requests hung: only {len(codes)} returned"
+    assert set(codes) <= {429, 504}, codes
+    assert 429 in codes and 504 in codes, codes
+    assert all(ra is not None for ra in retry_after)
+
+
 def test_continuous_generate_join_error_is_500(continuous_server):
     base = continuous_server
     body = {"prompt": "y" * 4000, "image_b64": _b64img(4), "max_tokens": 4}
