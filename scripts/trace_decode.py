@@ -104,6 +104,19 @@ def analyze(out_dir: str, chunks: int) -> dict:
 
     summary = {"planes": {}}
     for plane in xspace.planes:
+        stat_names = {sid: sm.name for sid, sm in plane.stat_metadata.items()}
+
+        def meta_stats(meta):
+            out = {}
+            for st in meta.stats:
+                key = stat_names.get(st.metadata_id, str(st.metadata_id))
+                val = (st.str_value or st.int64_value or st.uint64_value
+                       or st.double_value)
+                if st.ref_value:
+                    val = stat_names.get(st.ref_value, val)
+                out[key] = str(val)[:160]
+            return out
+
         stats = defaultdict(lambda: [0.0, 0])  # name -> [self_ps, count]
         busy_by_line = {}
         span_lo, span_hi = None, None
@@ -131,12 +144,15 @@ def analyze(out_dir: str, chunks: int) -> dict:
         if not busy_by_line:
             continue
         top = sorted(stats.items(), key=lambda kv: -kv[1][0])[:40]
+        by_name = {(m.display_name or m.name): m
+                   for m in plane.event_metadata.values()}
         summary["planes"][plane.name] = {
             "lines": busy_by_line,
             "span_ms": (span_hi - span_lo) / 1e9 if span_lo is not None else 0,
             "top_ops": [
                 {"name": n, "total_ms": round(ps / 1e9, 4), "count": c,
-                 "ms_per_token": round(ps / 1e9 / (chunks * CHUNK), 5)}
+                 "ms_per_token": round(ps / 1e9 / (chunks * CHUNK), 5),
+                 "stats": meta_stats(by_name[n]) if n in by_name else {}}
                 for n, (ps, c) in top
             ],
         }
@@ -165,6 +181,8 @@ def main():
         for op in p["top_ops"][:25]:
             log(f"  {op['total_ms']:9.3f} ms x{op['count']:<6} "
                 f"{op['ms_per_token']:.4f} ms/tok  {op['name'][:90]}")
+            for k, v in op.get("stats", {}).items():
+                log(f"      {k}: {v}")
     log(f"\nsummary -> {out}/trace_summary.json")
 
 

@@ -1,0 +1,317 @@
+"""One-command real-checkpoint validation harness.
+
+The reference's point of entry is loading the actual paligemma-3b-pt-224
+checkpoint + its tokenizer (reference: utils.py:6-46, inference.py:87-130).
+Network is unavailable in this environment, so this script closes the gap to
+one ready-to-run command for the day a checkpoint lands:
+
+    python scripts/validate_checkpoint.py MODEL_DIR [--out report.json]
+
+Checks (each recorded pass/fail/skipped in the JSON report; exit 0 iff no
+check failed):
+
+  config         config.json -> PaliGemmaConfig (geometry echoed)
+  tokenizer      AutoTokenizer.from_pretrained + PaliGemmaProcessor token
+                 registration (<image>, 1024 loc, 128 seg) + assert_aligned
+  load           load_model -> params (streaming for large checkpoints, which
+                 bounds host memory by the largest parameter group; host
+                 peak-RSS delta recorded)
+  logit_parity   prefill logits vs HF transformers fp32 at 1e-3 (BASELINE.md
+                 fidelity bar) + greedy 8-token identity. Skipped when the
+                 checkpoint exceeds --max_hf_mb (the torch CPU oracle would
+                 need the whole model in fp32 host memory) unless --hf on.
+  int8_identity  greedy tokens identical between bf16 and int8 weight-only
+                 (the serving-config promotion criterion, REPORT.md)
+  lora_smoke     one LoRA train step on a synthesized batch: finite loss and
+                 the adapter actually moves
+
+CI runs this end-to-end against a tiny HF-format checkpoint with a REAL
+fast tokenizer (tests/test_validate_checkpoint.py), so the same command is
+known-good before a real checkpoint ever shows up.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def _ckpt_mb(path: str) -> float:
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".safetensors"):
+            total += os.path.getsize(os.path.join(path, name))
+    return total / 1e6
+
+
+def run_checks(model_path: str, tokens: int, hf_mode: str, streaming_mode: str,
+               max_hf_mb: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    report = {"model_path": os.path.abspath(model_path), "checks": {}}
+
+    def record(name, status, **detail):
+        report["checks"][name] = {"status": status, **detail}
+        log(f"[{status:>7}] {name}: {detail}")
+
+    def guard(name):
+        def deco(fn):
+            t0 = time.time()
+            try:
+                out = fn()
+                detail = out or {}
+                detail["seconds"] = round(time.time() - t0, 2)
+                record(name, "pass", **detail)
+                return True
+            except SkipCheck as e:
+                record(name, "skipped", reason=str(e))
+                return None
+            except Exception as e:
+                record(name, "fail", error=repr(e),
+                       trace=traceback.format_exc()[-1500:])
+                return False
+        return deco
+
+    class SkipCheck(Exception):
+        pass
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    ckpt_mb = _ckpt_mb(model_path)
+    report["checkpoint_mb"] = round(ckpt_mb, 1)
+    report["platform"] = jax.devices()[0].platform
+
+    state = {}
+
+    @guard("config")
+    def _config():
+        from paligemma_tpu.config import PaliGemmaConfig
+
+        cfg = PaliGemmaConfig.from_json(os.path.join(model_path, "config.json"))
+        state["cfg"] = cfg
+        return {
+            "text_layers": cfg.text_config.num_hidden_layers,
+            "vision_layers": cfg.vision_config.num_hidden_layers,
+            "vocab": cfg.text_config.vocab_size,
+            "image_tokens": cfg.vision_config.num_image_tokens,
+        }
+
+    @guard("tokenizer")
+    def _tokenizer():
+        if "cfg" not in state:
+            raise SkipCheck("config failed")
+        from transformers import AutoTokenizer
+
+        from paligemma_tpu.processing import PaliGemmaProcessor, assert_aligned
+
+        tok = AutoTokenizer.from_pretrained(model_path, padding_side="right")
+        cfg = state["cfg"]
+        proc = PaliGemmaProcessor(
+            tok,
+            num_image_tokens=cfg.vision_config.num_image_tokens,
+            image_size=cfg.vision_config.image_size,
+        )
+        assert_aligned(proc, cfg)
+        # Reference token registration (processing_paligemma.py:63-75): the
+        # processor must have the full loc/seg vocabulary addressable.
+        for marker in ("<loc0000>", "<loc1023>", "<seg000>", "<seg127>"):
+            tid = tok.convert_tokens_to_ids(marker)
+            if tid is None or tid < 0:
+                raise AssertionError(f"{marker} not registered")
+        state["proc"] = proc
+        return {"image_token_id": proc.image_token_id,
+                "tokenizer_len": len(tok)}
+
+    @guard("load")
+    def _load():
+        if "cfg" not in state:
+            raise SkipCheck("config failed")
+        from paligemma_tpu.utils.checkpoint import load_model
+
+        streaming = (
+            streaming_mode == "on"
+            or (streaming_mode == "auto" and ckpt_mb > 2000)
+        )
+        rss0 = _rss_mb()
+        params, cfg = load_model(model_path, dtype=dtype, streaming=streaming)
+        jax.block_until_ready(params)
+        state["params"], state["cfg"] = params, cfg
+        n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+        return {"streaming": streaming, "n_params": n,
+                "host_rss_delta_mb": round(_rss_mb() - rss0, 1)}
+
+    def _inputs():
+        proc, cfg = state["proc"], state["cfg"]
+        from PIL import Image
+
+        img = Image.fromarray(
+            np.random.RandomState(0).randint(
+                0, 255, (cfg.vision_config.image_size,
+                         cfg.vision_config.image_size, 3), np.uint8))
+        inputs = proc(text=["describe the chart"], images=[img])
+        return (jnp.asarray(inputs["input_ids"]),
+                jnp.asarray(inputs["pixel_values"], dtype))
+
+    @guard("logit_parity")
+    def _parity():
+        if "params" not in state or "proc" not in state:
+            raise SkipCheck("load or tokenizer failed")
+        if hf_mode == "off":
+            raise SkipCheck("--hf off")
+        if hf_mode == "auto" and ckpt_mb > max_hf_mb:
+            raise SkipCheck(
+                f"checkpoint {ckpt_mb:.0f} MB > --max_hf_mb {max_hf_mb:.0f} "
+                "(torch fp32 CPU oracle would not fit); pass --hf on to force")
+        import torch
+        from transformers import PaliGemmaForConditionalGeneration
+
+        from paligemma_tpu import generation
+        from paligemma_tpu.models import paligemma
+
+        model = PaliGemmaForConditionalGeneration.from_pretrained(
+            model_path, torch_dtype=torch.float32,
+            attn_implementation="eager").eval()
+        ids, pix = _inputs()
+        ids_t = torch.from_numpy(np.asarray(ids)).long()
+        with torch.no_grad():
+            hf_logits = model(
+                input_ids=ids_t,
+                pixel_values=torch.from_numpy(np.asarray(pix, np.float32)),
+                attention_mask=torch.ones_like(ids_t),
+            ).logits.numpy()
+        # fp32 arm for the comparison (bf16 load would fail 1e-3 trivially).
+        from paligemma_tpu.utils.checkpoint import load_model
+
+        params32, cfg = load_model(model_path, dtype=jnp.float32)
+        cache = generation.make_cache(cfg, 1, ids.shape[1], 4, jnp.float32)
+        ours, _ = paligemma.prefill(
+            params32, cfg, ids, jnp.asarray(pix, jnp.float32), cache)
+        diff = float(np.max(np.abs(np.asarray(ours) - hf_logits)))
+        if diff > 1e-3 + 1e-3 * float(np.max(np.abs(hf_logits))):
+            raise AssertionError(f"prefill logits diverge: max abs diff {diff}")
+        # greedy 8-token identity
+        with torch.no_grad():
+            hf_tokens = model.generate(
+                input_ids=ids_t,
+                pixel_values=torch.from_numpy(np.asarray(pix, np.float32)),
+                attention_mask=torch.ones_like(ids_t),
+                max_new_tokens=8, do_sample=False,
+            )[0, ids.shape[1]:].tolist()
+        ours_tokens = generation.generate_chunked(
+            params32, cfg, ids, jnp.asarray(pix, jnp.float32),
+            max_new_tokens=8,
+            eos_token_id=state["proc"].tokenizer.eos_token_id or -1,
+            cache_dtype=jnp.float32, chunk=4)
+        if ours_tokens != hf_tokens[:len(ours_tokens)]:
+            raise AssertionError(
+                f"greedy tokens diverge: ours {ours_tokens} hf {hf_tokens}")
+        return {"max_abs_logit_diff": diff, "greedy_tokens": ours_tokens}
+
+    @guard("int8_identity")
+    def _int8():
+        if "params" not in state or "proc" not in state:
+            raise SkipCheck("load or tokenizer failed")
+        from paligemma_tpu import generation
+        from paligemma_tpu.quantization import quantize_params
+
+        ids, pix = _inputs()
+        eos = state["proc"].tokenizer.eos_token_id or -1
+        kw = dict(max_new_tokens=tokens, eos_token_id=eos,
+                  cache_dtype=dtype, chunk=min(16, tokens))
+        base = generation.generate_chunked(
+            state["params"], state["cfg"], ids, pix, **kw)
+        qparams = quantize_params(state["params"], llm_only=True)
+        q = generation.generate_chunked(qparams, state["cfg"], ids, pix, **kw)
+        if base != q:
+            raise AssertionError(
+                f"int8 tokens diverge from {('bf16' if on_tpu else 'fp32')}: "
+                f"{q[:8]} vs {base[:8]}")
+        return {"tokens_compared": len(base)}
+
+    @guard("lora_smoke")
+    def _lora():
+        if "params" not in state or "proc" not in state:
+            raise SkipCheck("load or tokenizer failed")
+        from paligemma_tpu.lora import (
+            LoraConfig, default_optimizer, init_lora, make_train_step)
+
+        cfg = state["cfg"]
+        lcfg = LoraConfig(r=4, alpha=8, dropout=0.0)
+        lora = init_lora(cfg, lcfg, jax.random.PRNGKey(0))
+        opt = default_optimizer(lr=1e-3, accum_steps=1)
+        opt_state = opt.init(lora)
+        step = make_train_step(cfg, lcfg, opt)
+        ids, pix = _inputs()
+        labels = np.asarray(ids).copy()
+        labels[labels == cfg.image_token_index] = -100
+        batch = {"input_ids": ids, "pixel_values": pix,
+                 "labels": jnp.asarray(labels)}
+        loss, lora2, _ = step(state["params"], lora, opt_state, batch,
+                              jax.random.PRNGKey(1))
+        loss = float(loss)
+        if not np.isfinite(loss):
+            raise AssertionError(f"non-finite loss {loss}")
+        moved = any(
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) > 0
+            for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(lora2)))
+        if not moved:
+            raise AssertionError("adapter did not move after one step")
+        return {"loss": round(loss, 4)}
+
+    statuses = [c["status"] for c in report["checks"].values()]
+    report["ok"] = "fail" not in statuses
+    report["summary"] = {
+        s: statuses.count(s) for s in ("pass", "fail", "skipped")}
+    return report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("model_path")
+    ap.add_argument("--out", default=None,
+                    help="JSON report path (default: stdout only)")
+    ap.add_argument("--tokens", type=int, default=16,
+                    help="greedy tokens for the int8 identity check")
+    ap.add_argument("--hf", choices=["auto", "on", "off"], default="auto",
+                    help="HF-transformers logit-parity oracle")
+    ap.add_argument("--streaming", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="streaming (host-memory-bounded) load; auto = on "
+                         "for checkpoints > 2 GB")
+    ap.add_argument("--max_hf_mb", type=float, default=2000.0)
+    ap.add_argument("--only_cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.only_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    report = run_checks(args.model_path, args.tokens, args.hf,
+                        args.streaming, args.max_hf_mb)
+    out = json.dumps(report, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    print(out)
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
