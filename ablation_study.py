@@ -354,9 +354,11 @@ def build_model(args):
         cfg = tiny_config()
         dtype = jnp.float32
     else:
-        from paligemma_tpu.config import paligemma_3b_pt_224
+        from paligemma_tpu.config import (
+            paligemma_3b_pt_224, paligemma_3b_pt_448, paligemma_3b_pt_896)
 
-        cfg = paligemma_3b_pt_224()
+        cfg = {224: paligemma_3b_pt_224, 448: paligemma_3b_pt_448,
+               896: paligemma_3b_pt_896}[args.res]()
         dtype = jnp.bfloat16
 
     tokenizer = ByteTokenizer()
@@ -378,7 +380,14 @@ def main(argv=None):
                    help="reduced grid for CI: 2 images, 2 runs, short lengths")
     p.add_argument("--quant", choices=["none", "int8"], default="none",
                    help="int8: run the grid with weight-only-quantized decoder")
+    p.add_argument("--res", type=int, choices=[224, 448, 896], default=224,
+                   help="model resolution geometry (448/896 extend the "
+                        "paper-analog beyond the reference's fixed 224; "
+                        "decode is geometry-identical, the no-cache arm "
+                        "pays the larger bidirectional prefill per step)")
     args = p.parse_args(argv)
+    if args.res != 224 and args.output_dir == OUTPUT_DIR:
+        args.output_dir = f"{OUTPUT_DIR}_{args.res}"
     if args.smoke and not os.path.normpath(args.output_dir).endswith("_smoke"):
         # A smoke run must never clobber measured grids (results_detailed /
         # summary_statistics are the round's published data — this includes

@@ -29,9 +29,13 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure(params, cfg, ids, pix, dtype, chunk, tokens, windows):
+def measure(params, cfg, ids, pix, dtype, chunk, tokens, windows, max_chunk):
     key = jax.random.PRNGKey(0)
-    max_new = tokens * windows + chunk
+    # ONE cache shape across every chunk variant: the prefill (and the cache
+    # geometry seen by decode) compiles once for the whole sweep — only the
+    # n_steps=chunk decode program is new per variant (compiles dominate the
+    # wall clock on the remote-compile backend, CLAUDE.md).
+    max_new = tokens * windows + max_chunk
     cache = generation.make_cache(cfg, 1, ids.shape[1], max_new, dtype)
     logits, cache = generation._prefill_jit(params, cfg, ids, pix, cache)
     tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
@@ -75,10 +79,12 @@ def main():
     pix = jax.random.normal(jax.random.PRNGKey(2), (1, 3, size, size), dtype)
 
     results = {}
-    for chunk in [int(c) for c in args.chunks.split(",")]:
+    chunks = [int(c) for c in args.chunks.split(",")]
+    tokens = max(args.tokens, max(chunks))
+    for chunk in chunks:
         t0 = time.time()
         ms = measure(params, cfg, ids, pix, dtype, chunk,
-                     max(args.tokens, chunk), args.windows)
+                     tokens, args.windows, max(chunks))
         results[f"{args.quant}_chunk{chunk}_ms_per_tok"] = round(ms, 3)
         log(f"chunk {chunk}: {ms:.3f} ms/token ({1000/ms:.1f} tok/s) "
             f"[wall {time.time()-t0:.0f}s]")

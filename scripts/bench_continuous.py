@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--n_req", type=int, default=32,
                     help="workload size; raise it to give wide-slot configs "
                          "a real backlog (32 over 16 slots is only ~2 waves)")
+    ap.add_argument("--skip_coalesced", action="store_true",
+                    help="measure only the continuous engine (skip the "
+                         "coalescing baseline and its batch-shape compiles "
+                         "— the width sweep reuses one baseline)")
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -120,11 +124,14 @@ def main():
             )
         return time.time() - t0
 
-    wall_w = run_coalesced()  # compile pass
-    log(f"coalesced compile+run: {wall_w:.1f}s")
-    wall_w = run_coalesced()
-    agg_w = useful / wall_w
-    log(f"coalesced: {wall_w:.2f}s -> {agg_w:.1f} useful tok/s aggregate")
+    if args.skip_coalesced:
+        wall_w, agg_w = float("nan"), float("nan")
+    else:
+        wall_w = run_coalesced()  # compile pass
+        log(f"coalesced compile+run: {wall_w:.1f}s")
+        wall_w = run_coalesced()
+        agg_w = useful / wall_w
+        log(f"coalesced: {wall_w:.2f}s -> {agg_w:.1f} useful tok/s aggregate")
 
     out = {
         "quant": args.quant,
@@ -134,9 +141,9 @@ def main():
         "useful_tokens": useful,
         "continuous_s": round(wall_c, 2),
         "continuous_agg_tok_s": round(agg_c, 1),
-        "coalesced_s": round(wall_w, 2),
-        "coalesced_agg_tok_s": round(agg_w, 1),
-        "speedup": round(agg_c / agg_w, 3),
+        "coalesced_s": round(wall_w, 2) if wall_w == wall_w else None,
+        "coalesced_agg_tok_s": round(agg_w, 1) if agg_w == agg_w else None,
+        "speedup": round(agg_c / agg_w, 3) if agg_w == agg_w else None,
     }
     tag = "" if args.quant == "none" else f"_{args.quant}"
     if (args.n_slots, args.chunk) != (8, 16):
