@@ -97,6 +97,153 @@ def decode_steps(
     return toks.T, tok, cache
 
 
+def _ngram_propose(ids_buf, buf_len, token, k: int, n: int):
+    """Prompt-lookup draft: (1, k-1) proposed continuation tokens.
+
+    Finds the most recent earlier occurrence of the last (n-1)-gram in
+    ``ids_buf[:, :buf_len]`` and proposes the k-1 tokens that followed it
+    (the checkpoint-free draft model of prompt-lookup / n-gram speculative
+    decoding — apt for document VQA, where answers quote the prompt). When
+    no occurrence exists, proposes the last token repeated; wrong drafts
+    cost nothing but their (weight-stream-amortized) verify slot.
+    """
+    L = ids_buf.shape[1]
+    gram = jax.lax.dynamic_slice(ids_buf, (0, buf_len - (n - 1)), (1, n - 1))[0]
+    idx = jnp.arange(L)[:, None] + jnp.arange(n - 1)[None, :]
+    wins = ids_buf[0][jnp.clip(idx, 0, L - 1)]
+    starts = jnp.arange(L)
+    valid = jnp.all(wins == gram[None, :], axis=-1) & (starts + n - 1 < buf_len)
+    pos = jnp.max(jnp.where(valid, starts, -1))
+    cont = jax.lax.dynamic_slice(
+        ids_buf, (0, jnp.maximum(pos, 0) + (n - 1)), (1, k - 1)
+    )
+    return jnp.where(pos >= 0, cont, jnp.broadcast_to(token, (1, k - 1)))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "k", "n"))
+def decode_steps_spec(
+    params,
+    cfg: PaliGemmaConfig,
+    token: jnp.ndarray,  # (1, 1) last emitted token (already in ids_buf)
+    cache: KVCache,
+    ids_buf: jnp.ndarray,  # (1, L) prompt + emitted tokens
+    buf_len: jnp.ndarray,  # () int32 — valid prefix of ids_buf
+    n_steps: int,
+    k: int = 8,
+    n: int = 3,
+):
+    """Greedy speculative decode of AT LEAST ``n_steps`` tokens as ONE
+    compiled program (n-gram drafts + k-token verify steps).
+
+    Each verify step feeds [last, d1..d_{k-1}] through ``verify_step`` (one
+    weight stream for k positions), accepts the longest prefix where the
+    drafts match the model's own greedy choices, and emits matched+1 real
+    tokens — output is exactly the plain greedy stream (tested), only
+    cheaper when drafts hit. Returns
+    (out_buf (1, n_steps+k), produced, iters, token, cache, ids_buf, buf_len);
+    the first ``produced`` columns of out_buf are valid.
+
+    Caller must size ``cache`` and ``ids_buf`` with k tokens of slack past
+    the last token it will consume (stale K/V beyond the accepted length is
+    masked and overwritten; see ``paligemma.verify_step``).
+    """
+    out_buf = jnp.zeros((1, n_steps + k), jnp.int32)
+
+    def cond(c):
+        return c[0] < n_steps
+
+    def body(c):
+        produced, iters, token, cache, ids_buf, buf_len, out_buf = c
+        drafts = _ngram_propose(ids_buf, buf_len, token, k, n)
+        inp = jnp.concatenate([token, drafts], axis=1)  # (1, k)
+        logits, vcache = paligemma.verify_step(params, cfg, inp, cache)
+        a = jnp.argmax(logits[0].astype(jnp.float32), axis=-1).astype(jnp.int32)
+        matched = jnp.sum(jnp.cumprod((drafts[0] == a[:-1]).astype(jnp.int32)))
+        accept = matched + 1  # emitted tokens this iteration
+        cache = KVCache(k=vcache.k, v=vcache.v, length=cache.length + accept)
+        # Write all k candidate tokens; columns past ``accept`` are overwritten
+        # by the next iteration (and never read beyond ``produced``).
+        out_buf = jax.lax.dynamic_update_slice(out_buf, a[None, :], (0, produced))
+        ids_buf = jax.lax.dynamic_update_slice(ids_buf, a[None, :], (0, buf_len))
+        token = jax.lax.dynamic_slice(a, (matched,), (1,))[None, :]
+        return (produced + accept, iters + 1, token, cache,
+                ids_buf, buf_len + accept, out_buf)
+
+    produced0 = jnp.zeros((), jnp.int32)
+    produced, iters, token, cache, ids_buf, buf_len, out_buf = (
+        jax.lax.while_loop(
+            cond, body,
+            (produced0, produced0, token, cache, ids_buf,
+             buf_len.astype(jnp.int32), out_buf),
+        )
+    )
+    return out_buf, produced, iters, token, cache, ids_buf, buf_len
+
+
+def generate_spec(
+    params,
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    max_new_tokens: int,
+    eos_token_id: int,
+    key: Optional[jax.Array] = None,
+    cache_dtype=jnp.bfloat16,
+    chunk: int = 64,
+    k: int = 8,
+    n: int = 3,
+    stats: Optional[dict] = None,
+) -> list:
+    """Greedy generation via n-gram speculative decoding — token-identical
+    to ``generate_chunked`` (greedy), faster whenever drafts hit. Sampling
+    is not supported (speculative acceptance is exact only for greedy).
+
+    ``stats`` (optional dict) receives {"produced", "verify_steps",
+    "tokens_per_verify"} for acceptance-rate reporting.
+    """
+    b, t = input_ids.shape
+    if b != 1:
+        raise ValueError("generate_spec is batch-1 (like generate)")
+    n_chunks = -(-max(max_new_tokens - 1, 1) // chunk)
+    alloc = (n_chunks + 1) * chunk + k  # worst-case overshoot headroom
+    cache = make_cache(cfg, b, t, alloc, cache_dtype)
+    logits, cache = _prefill_jit(params, cfg, input_ids, pixel_values, cache)
+    tok = greedy(logits[:, -1, :])
+    out = [int(tok[0])]
+    if out[-1] == eos_token_id or max_new_tokens == 1:
+        return out[:max_new_tokens]
+
+    L = t + alloc
+    ids_buf = jnp.zeros((1, L), jnp.int32)
+    ids_buf = jax.lax.dynamic_update_slice(ids_buf, input_ids.astype(jnp.int32), (0, 0))
+    ids_buf = ids_buf.at[0, t].set(tok[0].astype(jnp.int32))
+    buf_len = jnp.asarray(t + 1, jnp.int32)
+    token = tok[:, None].astype(jnp.int32)
+
+    produced_total, verify_total = 0, 0
+    while len(out) < max_new_tokens:
+        out_buf, produced, iters, token, cache, ids_buf, buf_len = (
+            decode_steps_spec(
+                params, cfg, token, cache, ids_buf, buf_len, chunk, k, n
+            )
+        )
+        n_prod = int(produced)
+        produced_total += n_prod
+        verify_total += int(iters)
+        new = out_buf[0, :n_prod].tolist()
+        new = new[: max_new_tokens - len(out)]
+        if eos_token_id in new:
+            out.extend(new[: new.index(eos_token_id) + 1])
+            break
+        out.extend(new)
+    if stats is not None:
+        stats.update(
+            produced=produced_total, verify_steps=verify_total,
+            tokens_per_verify=round(produced_total / max(verify_total, 1), 3),
+        )
+    return out
+
+
 def make_cache(
     cfg: PaliGemmaConfig,
     batch: int,

@@ -181,6 +181,7 @@ def _attention(
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
     lora_key: Optional[jax.Array] = None,
+    multi_decode: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """GQA attention for one layer (reference: modeling_gemma.py:201-293).
 
@@ -235,9 +236,12 @@ def _attention(
                 cv, v.astype(cv.dtype), (0, write_pos, 0, 0)
             )
         new_cache_kv = (ck, cv)
-        if t == 1:
-            # Decode: single query attends over the whole preallocated buffer
+        if t == 1 or multi_decode:
+            # Decode: query attends over the whole preallocated buffer
             # (unwritten slots masked out by the validity mask).
+            # ``multi_decode`` is the speculative verify step: t > 1 queries
+            # over the warm cache under a per-query threshold mask (causal
+            # among the fresh tokens, full over the accepted prefix).
             decode_over_cache = True
             k, v = ck.astype(q.dtype), cv.astype(q.dtype)
         # Prefill (t > 1, cache starts empty): attend over the fresh K/V only —
@@ -304,13 +308,14 @@ def _decoder_layer(
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
     lora_key: Optional[jax.Array] = None,
+    multi_decode: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Pre-RMSNorm decoder block (reference: modeling_gemma.py:295-338)."""
     residual = h
     x = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
     attn_out, new_kv = _attention(
         cfg, lp, x, cos, sin, cache_kv, write_pos, mask,
-        lora, lora_scale, lora_dropout, lora_key,
+        lora, lora_scale, lora_dropout, lora_key, multi_decode,
     )
     h = residual + attn_out
     residual = h
@@ -332,6 +337,7 @@ def forward(
     lora_keys: Optional[jax.Array] = None,
     hidden_sharding=None,
     row_lengths: Optional[jnp.ndarray] = None,
+    multi_token_decode: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Decoder trunk: embeds -> hidden states (reference: GemmaModel.forward).
 
@@ -376,6 +382,22 @@ def forward(
             # the fresh K/V bidirectionally and needs no mask (all-zeros mask
             # semantics, reference: modeling_gemma.py:506-514).
             mask = make_length_mask(cache.length + t, batch=inputs_embeds.shape[0])
+        elif mask is None and multi_token_decode:
+            # Speculative verify step: t draft tokens over the warm cache.
+            # Query i sees the accepted prefix [0, length) plus this step's
+            # fresh tokens at positions length..length+i — causal among the
+            # drafts, so a rejected draft can never leak into the logits
+            # that judge the ones before it.
+            s_len = cache.k.shape[2]
+            allowed = (
+                jnp.arange(s_len)[None, :]
+                <= cache.length + jnp.arange(t)[:, None]
+            )
+            from paligemma_tpu.ops.attention import MASK_VALUE
+
+            mask = jnp.where(allowed, 0.0, MASK_VALUE).astype(jnp.float32)[
+                None, None, None, :, :
+            ]
 
     xs: Dict[str, Any] = {"lp": params["layers"]}
     if use_cache:
@@ -390,6 +412,7 @@ def forward(
         new_h, new_kv = _decoder_layer(
             cfg, x["lp"], carry, cos, sin, cache_kv, write_pos, mask,
             x.get("lora"), lora_scale, lora_dropout, x.get("lkey"),
+            multi_decode=multi_token_decode,
         )
         if hidden_sharding is not None:
             # Sequence-parallel residual stream: GSPMD keeps the (B, T, D)

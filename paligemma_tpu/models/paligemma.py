@@ -182,6 +182,39 @@ def decode_step(
     return gemma.logits(params["llm"], hidden), new_cache
 
 
+def verify_step(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    tokens: jnp.ndarray,
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Speculative verify step: (B, k) tokens -> (B, k, V) fp32 logits.
+
+    Feeds k tokens [last_accepted, d1..d_{k-1}] at positions
+    length..length+k-1 in ONE forward — decode is weight-streaming-bound
+    (REPORT.md), so verifying k tokens costs nearly the same as one. Row i's
+    logits predict the token after position length+i under a per-query
+    threshold mask (causal among the drafts, full over the accepted prefix),
+    so greedy(row i) equals exactly what sequential ``decode_step`` calls
+    would produce (pinned by tests/test_speculative.py).
+
+    The returned cache has K/V written for ALL k positions and ``length``
+    advanced by k; the caller rolls ``length`` back to the accepted count —
+    stale K/V beyond it is masked out by every later step and overwritten
+    when those positions are legitimately reached.
+    """
+    b, k = tokens.shape
+    positions = cache.length.astype(jnp.int32) + jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32)[None, :], (b, k)
+    )
+    embeds = gemma.embed_tokens(params["llm"], tokens)
+    hidden, new_cache = gemma.forward(
+        params["llm"], cfg.text_config, embeds, positions, cache=cache,
+        multi_token_decode=True,
+    )
+    return gemma.logits(params["llm"], hidden), new_cache
+
+
 def forward_nocache(
     params: Params,
     cfg: PaliGemmaConfig,
