@@ -40,10 +40,13 @@ def test_inference(
     do_sample: bool,
     cache_dtype=None,
     seed: int = 0,
+    speculative: bool = False,
 ):
     """Greedy/top-p generation loop (reference: inference.py:34-85).
 
     Returns ``prompt + decoded`` exactly like the reference.
+    ``speculative=True`` (greedy only) routes through n-gram speculative
+    decoding — token-identical output, faster when drafts hit.
     """
     import jax
     import jax.numpy as jnp
@@ -66,19 +69,27 @@ def test_inference(
             cache_dtype = jnp.bfloat16
     pix = pix.astype(cache_dtype)
 
-    tokens = generation.generate_chunked(
-        params,
-        cfg,
-        ids,
-        pix,
-        max_new_tokens=max_tokens_to_generate,
-        eos_token_id=processor.tokenizer.eos_token_id,
-        do_sample=do_sample,
-        temperature=temperature,
-        top_p=top_p,
-        key=jax.random.PRNGKey(seed),
-        cache_dtype=cache_dtype,
-    )
+    if speculative and not do_sample:
+        tokens = generation.generate_spec(
+            params, cfg, ids, pix,
+            max_new_tokens=max_tokens_to_generate,
+            eos_token_id=processor.tokenizer.eos_token_id,
+            cache_dtype=cache_dtype,
+        )
+    else:
+        tokens = generation.generate_chunked(
+            params,
+            cfg,
+            ids,
+            pix,
+            max_new_tokens=max_tokens_to_generate,
+            eos_token_id=processor.tokenizer.eos_token_id,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_p=top_p,
+            key=jax.random.PRNGKey(seed),
+            cache_dtype=cache_dtype,
+        )
     decoded = processor.tokenizer.decode(tokens, skip_special_tokens=True)
     return prompt + decoded
 
@@ -144,6 +155,10 @@ def main(argv=None):
                    help="int8: weight-only quantized decoder (the serving "
                         "config — ~2x decode throughput, token-identical "
                         "to bf16 on the measured window)")
+    p.add_argument("--speculative", action="store_true",
+                   help="greedy-only: n-gram speculative decoding — "
+                        "token-identical output, faster when the answer "
+                        "repeats context (document VQA)")
     args = p.parse_args(argv)
 
     import jax
@@ -171,6 +186,7 @@ def main(argv=None):
             args.temperature,
             args.top_p,
             args.do_sample,
+            speculative=args.speculative,
         )
     )
     return 0

@@ -50,6 +50,18 @@ def test_inference_cli_demo_int8(image_path):
     assert "total assets?" in r.stdout
 
 
+def test_inference_cli_demo_speculative(image_path):
+    """--speculative routes greedy decoding through n-gram speculation from
+    the CLI (token-identical path, tests/test_speculative.py)."""
+    r = run_cli([
+        "inference.py", "--demo", "--only_cpu=True", "--speculative",
+        "--prompt=what is this?", f"--image_file_path={image_path}",
+        "--max_tokens_to_generate=6",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "what is this?" in r.stdout
+
+
 @pytest.fixture(scope="module")
 def tiny_dataset(tmp_path_factory):
     import pandas as pd
