@@ -205,7 +205,12 @@ def generate_spec(
     if b != 1:
         raise ValueError("generate_spec is batch-1 (like generate)")
     n_chunks = -(-max(max_new_tokens - 1, 1) // chunk)
-    alloc = (n_chunks + 1) * chunk + k  # worst-case overshoot headroom
+    # Every chunk call produces in [chunk, chunk+k-1] tokens (the final
+    # verify may overshoot), and the last call's in-flight verify writes k
+    # positions past the accepted length — size cache and ids_buf for the
+    # worst case, because dynamic_update_slice CLAMPS out-of-range starts
+    # and would silently overwrite earlier cache slots.
+    alloc = n_chunks * (chunk + k) + k
     cache = make_cache(cfg, b, t, alloc, cache_dtype)
     logits, cache = _prefill_jit(params, cfg, input_ids, pixel_values, cache)
     tok = greedy(logits[:, -1, :])
@@ -228,6 +233,11 @@ def generate_spec(
             )
         )
         n_prod = int(produced)
+        if n_prod > chunk + k - 1 or int(buf_len) + k > L:
+            raise AssertionError(
+                "speculative buffer headroom exhausted "
+                f"(produced {n_prod}, buf_len {int(buf_len)}, L {L}) — "
+                "allocation bug; see alloc formula above")
         produced_total += n_prod
         verify_total += int(iters)
         new = out_buf[0, :n_prod].tolist()

@@ -207,6 +207,64 @@ def main(argv=None):
         fig.tight_layout()
         save(fig, "fig6_serving")
 
+    # fig7: continuous-serving width scaling (round-3 sweep; measured peak
+    # promoted to the server defaults).
+    width_files = [
+        (16, "continuous_bench_int8_s16c32_r128.json"),
+        (24, "continuous_bench_int8_s24c32_r128.json"),
+        (32, "continuous_bench_int8_s32c32_r128.json"),
+        (32, "continuous_bench_int8_s32c32_r256.json"),
+        (48, "continuous_bench_int8_s48c32_r256.json"),
+    ]
+    pts = []
+    for slots, fname in width_files:
+        path = os.path.join(args.serving_dir, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            pts.append((slots, d["continuous_agg_tok_s"], d["n_req"]))
+    if len(pts) >= 3:
+        fig, ax = plt.subplots()
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        ax.plot(xs, ys, marker="o", markersize=5, color=COLOR_KV)
+        for x, y, r in pts:
+            ax.text(x, y + 20, f"{y:.0f}\n(r{r})", ha="center", fontsize=7)
+        ax.set_xlabel("Decode slots (int8, chunk 32; rN = backlog size)")
+        ax.set_ylabel("Useful tokens/sec (aggregate)")
+        ax.set_title("Continuous Serving Width Scaling")
+        ax.grid(True, alpha=0.3)
+        ax.set_ylim(bottom=0)
+        fig.tight_layout()
+        save(fig, "fig7_serving_width")
+
+    # fig8: n-gram speculative decode (single stream) vs plain chunked
+    # greedy, with measured acceptance annotated.
+    spec_path = os.path.join(args.serving_dir, "spec_bench_int8.json")
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            d = json.load(f)
+        ks = sorted(int(k.split("_k")[1].split("_")[0])
+                    for k in d if k.startswith("spec_k") and k.endswith("ms_per_tok"))
+        if ks:
+            fig, ax = plt.subplots()
+            labels = ["plain"] + [f"k={k}" for k in ks]
+            vals = [d["plain_ms_per_tok"]] + [d[f"spec_k{k}_ms_per_tok"] for k in ks]
+            colors = [COLOR_NOKV] + [COLOR_KV] * len(ks)
+            ax.bar(labels, vals, color=colors)
+            for i, v in enumerate(vals):
+                ax.text(i, v, f"{v:.2f}", ha="center", va="bottom", fontsize=8)
+            for i, k in enumerate(ks):
+                acc = d.get(f"spec_k{k}_tokens_per_verify")
+                if acc:
+                    ax.text(i + 1, vals[i + 1] / 2, f"{acc:.1f}\ntok/vfy",
+                            ha="center", fontsize=7, color="white")
+            ax.set_ylabel("ms / token (int8, greedy)")
+            ax.set_title("Speculative Decoding (n-gram drafts)")
+            ax.grid(True, alpha=0.3, axis="y")
+            fig.tight_layout()
+            save(fig, "fig8_speculative")
+
     print("\nResults summary:")
     print(f"  - Speedup range: {speedup.min():.1f}x to {speedup.max():.1f}x")
     kv_ms = np.asarray(data["kv_ms"], dtype=float)
