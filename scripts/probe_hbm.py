@@ -65,9 +65,29 @@ def free_hbm_mb(max_blocks: int = 128) -> int:
         log(f"  allocator refused at block {len(blocks) + 1}: "
             f"{type(e).__name__}")
     n = len(blocks)
+    for b in blocks:
+        b.delete()  # synchronous device-buffer free (del alone is lazy here)
     del blocks
     gc.collect()
+    _settle(n)
     return n * BLOCK_MB
+
+
+def _settle(expect_blocks: int, tries: int = 30) -> None:
+    """Wait until the allocator actually reflects the frees: over the
+    tunneled backend, deallocations can land asynchronously, and the next
+    big allocation (e.g. param init) would RESOURCE_EXHAUSTED spuriously."""
+    if expect_blocks == 0:
+        return
+    for _ in range(tries):
+        try:
+            x = _alloc()
+            fence(x)
+            x.delete()
+            return
+        except Exception:
+            time.sleep(1.0)
+    log("  warning: allocator did not settle after frees")
 
 
 def main():
@@ -88,7 +108,19 @@ def main():
     results["free_baseline_mb"] = base
     log(f"baseline free: {base} MB ({time.time()-t0:.0f}s)")
 
-    params = paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype)
+    def retry(fn, tries=5):
+        for i in range(tries):
+            try:
+                return fn()
+            except Exception as e:
+                if i == tries - 1:
+                    raise
+                log(f"  retrying after {type(e).__name__} "
+                    "(frees still settling)")
+                time.sleep(5.0)
+
+    params = retry(
+        lambda: paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype))
     jax.block_until_ready(params)
     fence(jax.tree.leaves(params)[0])
     f = free_hbm_mb()
@@ -96,7 +128,7 @@ def main():
     results["in_use_params_bf16_mb"] = base - f
     log(f"params bf16: in use {base - f} MB")
 
-    qparams = quantize_params(params, llm_only=True)
+    qparams = retry(lambda: quantize_params(params, llm_only=True))
     jax.block_until_ready(qparams)
     del params
     gc.collect()
@@ -115,7 +147,9 @@ def main():
     pix = jax.random.normal(jax.random.PRNGKey(2), (1, 3, size, size), dtype)
     cache = generation.make_cache(
         cfg, 1, ids.shape[1], max(args.seq - ids.shape[1], 64), dtype)
-    logits, cache = generation._prefill_jit(params := qparams, cfg, ids, pix, cache)
+    params = qparams
+    logits, cache = retry(
+        lambda: generation._prefill_jit(params, cfg, ids, pix, cache))
     tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
     _, tok, cache = generation.decode_steps(
         params, cfg, tok, cache, jax.random.PRNGKey(0), 16)

@@ -798,12 +798,17 @@ def main(argv=None):
                         "running decode between chunks and leave on EOS; "
                         "per-request sampling params ride the slots, so "
                         "greedy and sampled traffic share one program")
-    p.add_argument("--n_slots", type=int, default=4)
-    p.add_argument("--chunk", type=int, default=8,
+    p.add_argument("--n_slots", type=int, default=32,
+                   help="continuous mode: decode batch width. Default is the "
+                        "measured single-chip throughput peak (int8, 32 "
+                        "slots, chunk 32: 1199.7 useful tok/s on the "
+                        "backlogged mixed-length workload; 48 slots is flat "
+                        "— REPORT.md round 3). Lower it on small boxes.")
+    p.add_argument("--chunk", type=int, default=32,
                    help="continuous mode: decode steps per dispatch — the "
                         "streaming-latency vs dispatch-amortization knob "
-                        "(8 streams snappily; 16-32 measured best for "
-                        "throughput, REPORT.md)")
+                        "(8 streams snappily; 32 is the measured throughput "
+                        "peak, REPORT.md)")
     p.add_argument("--max_new_cap", type=int, default=256,
                    help="continuous mode: per-slot token budget (cache is "
                         "sized statically for it)")
