@@ -225,6 +225,8 @@ def generate_spec(
     buf_len = jnp.asarray(t + 1, jnp.int32)
     token = tok[:, None].astype(jnp.int32)
 
+    import numpy as np
+
     produced_total, verify_total = 0, 0
     while len(out) < max_new_tokens:
         out_buf, produced, iters, token, cache, ids_buf, buf_len = (
@@ -232,15 +234,20 @@ def generate_spec(
                 params, cfg, token, cache, ids_buf, buf_len, chunk, k, n
             )
         )
-        n_prod = int(produced)
-        if n_prod > chunk + k - 1 or int(buf_len) + k > L:
+        # ONE host fetch per chunk: each fetch costs ~25 ms over the tunnel
+        # (CLAUDE.md), and fetching produced/iters/buf_len/tokens separately
+        # was measured to double the e2e cost of the whole chunk.
+        packed = np.asarray(jnp.concatenate(
+            [produced[None], iters[None], buf_len[None], out_buf[0]]))
+        n_prod, n_iter, blen = int(packed[0]), int(packed[1]), int(packed[2])
+        if n_prod > chunk + k - 1 or blen + k > L:
             raise AssertionError(
                 "speculative buffer headroom exhausted "
-                f"(produced {n_prod}, buf_len {int(buf_len)}, L {L}) — "
+                f"(produced {n_prod}, buf_len {blen}, L {L}) — "
                 "allocation bug; see alloc formula above")
         produced_total += n_prod
-        verify_total += int(iters)
-        new = out_buf[0, :n_prod].tolist()
+        verify_total += n_iter
+        new = packed[3 : 3 + n_prod].tolist()
         new = new[: max_new_tokens - len(out)]
         if eos_token_id in new:
             out.extend(new[: new.index(eos_token_id) + 1])
