@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paligemma_tpu import serving
+from paligemma_tpu import generation, serving
 from paligemma_tpu.config import PaliGemmaConfig
 from paligemma_tpu.models import gemma
 from paligemma_tpu.models.gemma import KVCache
@@ -81,6 +81,86 @@ def slot_decode_steps(
     return toks.T, tok, cache, lengths
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "k", "n"))
+def slot_decode_steps_spec(
+    params,
+    cfg: PaliGemmaConfig,
+    token: jnp.ndarray,  # (B, 1) current token per slot
+    cache: KVCache,
+    lengths: jnp.ndarray,  # (B,) per-slot sequence length
+    temps: jnp.ndarray,  # (B,) per-slot temperature; <= 0 -> greedy
+    topps: jnp.ndarray,  # (B,) per-slot nucleus p
+    key: jax.Array,
+    n_iters: int,
+    ids_buf: jnp.ndarray,  # (B, L) per-slot prompt+emitted token history
+    buf_lens: jnp.ndarray,  # (B,) valid prefix of each ids_buf row
+    k: int = 4,
+    n: int = 3,
+    lora=None,
+):
+    """``n_iters`` speculative verify iterations for all slots as ONE
+    compiled program (the spec analog of ``slot_decode_steps``).
+
+    Each iteration proposes k-1 n-gram drafts PER SLOT from its own token
+    history, verifies all slots' [current, drafts] in one k-token forward
+    (per-row write positions + per-row per-query threshold masks — see
+    gemma.forward(multi_token_decode=True)), and accepts per-row the longest
+    draft prefix agreeing with that row's decision rule. Greedy rows
+    (temp <= 0) emit matched+1 exact-greedy tokens; sampled rows emit
+    exactly their 1 sampled token per iteration (speculative acceptance is
+    only exact for greedy), so mixed batches share the program.
+
+    Returns (toks (B, n_iters*k), counts (B,), last token (B, 1), cache,
+    lengths, ids_buf, buf_lens); row b's valid tokens are
+    ``toks[b, :counts[b]]``.
+    """
+    b = token.shape[0]
+    out0 = jnp.zeros((b, n_iters * k), jnp.int32)
+
+    def body(carry, step_key):
+        tok, cache, lens, ibuf, blens, out, counts = carry
+        drafts = jax.vmap(
+            lambda row, bl, t0: generation._ngram_propose_row(row, bl, t0, k, n)
+        )(ibuf, blens, tok[:, 0])
+        inp = jnp.concatenate([tok, drafts.astype(jnp.int32)], axis=1)  # (B,k)
+        positions = (
+            lens[:, None].astype(jnp.int32)
+            + jnp.arange(k, dtype=jnp.int32)[None, :]
+        )
+        embeds = gemma.embed_tokens(params["llm"], inp)
+        hidden, vcache = gemma.forward(
+            params["llm"], cfg.text_config, embeds, positions,
+            cache=cache, row_lengths=lens, lora=lora, multi_token_decode=True,
+        )
+        logits = gemma.logits(params["llm"], hidden)  # (B, k, V) fp32
+        a = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        # Sampled rows draw their (single) token from position 0's logits.
+        s0 = sample_rows(logits[:, 0, :], step_key, temps, topps)
+        greedy_row = temps <= 0.0
+        a = a.at[:, 0].set(jnp.where(greedy_row, a[:, 0], s0.astype(jnp.int32)))
+        eq = (inp[:, 1:] == a[:, :-1]).astype(jnp.int32)
+        matched = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
+        accept = jnp.where(greedy_row, matched + 1, 1)  # (B,)
+        cache = KVCache(k=vcache.k, v=vcache.v, length=cache.length)
+        out = jax.vmap(
+            lambda row, vals, off: jax.lax.dynamic_update_slice(row, vals, (off,))
+        )(out, a, counts)
+        ibuf = jax.vmap(
+            lambda row, vals, off: jax.lax.dynamic_update_slice(row, vals, (off,))
+        )(ibuf, a, blens)
+        tok = jnp.take_along_axis(a, (accept - 1)[:, None], axis=1)
+        return (tok, cache, lens + accept, ibuf, blens + accept, out,
+                counts + accept), None
+
+    keys = jax.random.split(key, n_iters)
+    carry0 = (token, cache, lengths, ids_buf, buf_lens.astype(jnp.int32),
+              out0, jnp.zeros((b,), jnp.int32))
+    (tok, cache, lengths, ids_buf, buf_lens, out, counts), _ = jax.lax.scan(
+        body, carry0, keys
+    )
+    return out, counts, tok, cache, lengths, ids_buf, buf_lens
+
+
 @jax.jit
 def _stack_group_adapters(group):
     """Tuple of per-request adapter trees ({q,k,v: {a (L,D,r), b (L,r,o)}})
@@ -106,6 +186,9 @@ def _insert_group(
     req_topps: jnp.ndarray,  # (G,)
     slot_lora=None,
     grouped=None,
+    ids_buf=None,  # (B, L) per-slot token history (speculative engines)
+    buf_lens=None,  # (B,)
+    prompt_ids=None,  # (G, t_b) the group's padded prompt ids
 ):
     """Sample a whole join group's first tokens AND scatter its prefilled K/V
     rows + lengths + tokens + sampling params into their slots in ONE
@@ -131,9 +214,16 @@ def _insert_group(
             lambda s, g: s.at[:, slots].set(g.astype(s.dtype)),
             slot_lora, grouped,
         )
+    if ids_buf is not None:
+        # Speculative engines: seed each joiner's token history with its
+        # prompt + first token so n-gram drafts can quote the prompt.
+        t_p = prompt_ids.shape[1]
+        ids_buf = ids_buf.at[slots, :t_p].set(prompt_ids.astype(jnp.int32))
+        ids_buf = ids_buf.at[slots, valid].set(first.astype(jnp.int32))
+        buf_lens = buf_lens.at[slots].set(valid.astype(jnp.int32) + 1)
     return (
         KVCache(k=k, v=v, length=cache.length),
-        lengths, cur_tok, temps, topps, first, slot_lora,
+        lengths, cur_tok, temps, topps, first, slot_lora, ids_buf, buf_lens,
     )
 
 
@@ -183,6 +273,12 @@ class ContinuousBatcher:
         Must cover image tokens + BOS + text.
       max_new_tokens: per-slot generation budget (cache sized for it).
       chunk: decode steps per dispatch; joins/evictions happen between chunks.
+      spec_k: >= 2 enables per-slot n-gram speculative decoding — each chunk
+        runs ``chunk`` verify iterations of k tokens (one weight stream per
+        iteration for ALL slots), so greedy slots emit 1..k exact-greedy
+        tokens per iteration at the workload's acceptance rate; sampled
+        slots emit exactly 1 (speculative acceptance is only exact for
+        greedy) and share the program. 0 = plain one-token steps.
       lora_rank: enable multi-tenant LoRA serving — every slot can carry a
         different registered adapter (``register_adapter`` + ``submit(...,
         adapter=name)``). Adapters of rank <= lora_rank share one compiled
@@ -208,6 +304,8 @@ class ContinuousBatcher:
         seed: int = 0,
         lora_rank: Optional[int] = None,
         prefill_cache_size: int = 0,
+        spec_k: int = 0,
+        spec_ngram: int = 3,
     ):
         self.params, self.cfg, self.processor = params, cfg, processor
         self.n_slots = n_slots
@@ -239,7 +337,17 @@ class ContinuousBatcher:
         )
         self.key = jax.random.PRNGKey(seed)
 
-        s_len = self.prompt_budget + max_new_tokens + chunk
+        self.spec_k = int(spec_k)
+        self.spec_ngram = int(spec_ngram)
+        if self.spec_k == 1:
+            raise ValueError("spec_k must be 0 (off) or >= 2 (1+ drafts)")
+        # Speculative engines: a chunk runs `chunk` verify iterations, each
+        # advancing a row by up to spec_k tokens and writing spec_k entries
+        # past its accepted length — size the cache for the worst case
+        # (dynamic_update_slice clamps out-of-range writes, which would
+        # silently corrupt earlier rows' slots).
+        slack = chunk * self.spec_k + self.spec_k if self.spec_k else chunk
+        s_len = self.prompt_budget + max_new_tokens + slack
         # One extra "trash" row absorbs a join group's padding scatters (a
         # group is padded to a bucketed batch so prefill/insert reuse ONE
         # compiled shape each). The decode program carries the extra row;
@@ -247,6 +355,11 @@ class ContinuousBatcher:
         b = n_slots + 1
         self.trash_row = n_slots
         self.cache = gemma.init_cache(cfg.text_config, b, s_len, cache_dtype)
+        # Per-slot token history for n-gram drafts (speculative only).
+        self.ids_buf = (
+            jnp.zeros((b, s_len), jnp.int32) if self.spec_k else None
+        )
+        self.buf_lens = jnp.zeros((b,), jnp.int32) if self.spec_k else None
         self.lengths = jnp.zeros((b,), jnp.int32)
         self.cur_tok = jnp.zeros((b, 1), jnp.int32)
         self.temps = jnp.zeros((b,), jnp.float32)  # <= 0 -> greedy
@@ -427,7 +540,7 @@ class ContinuousBatcher:
         ) else None
         hit = self._prefill_cache.get(key_c) if key_c else None
         if hit is not None:
-            valid, logits, temp = hit
+            valid, logits, temp, ids = hit
             self._prefill_cache.move_to_end(key_c)
             self.prefill_cache_hits += 1
         else:
@@ -459,7 +572,7 @@ class ContinuousBatcher:
             if key_c is not None:
                 # Device-resident entry (temp K/V + last logits); the insert
                 # only READS from them, so reuse across joins is safe.
-                self._prefill_cache[key_c] = (valid, logits, temp)
+                self._prefill_cache[key_c] = (valid, logits, temp, ids)
                 while len(self._prefill_cache) > self.prefill_cache_size:
                     self._prefill_cache.popitem(last=False)
         req_temps = np.zeros((g_b,), np.float32)
@@ -475,15 +588,19 @@ class ContinuousBatcher:
             self.slot_req[slot] = req
         (
             self.cache, self.lengths, self.cur_tok, self.temps, self.topps,
-            first, slot_lora,
+            first, slot_lora, ids_buf, buf_lens,
         ) = _insert_group(
             self.cache, temp, jnp.asarray(slots), self.lengths, self.cur_tok,
             self.temps, self.topps, jnp.asarray(valid),
             logits, sub, jnp.asarray(req_temps), jnp.asarray(req_topps),
             slot_lora=self.slot_lora, grouped=grouped,
+            ids_buf=self.ids_buf, buf_lens=self.buf_lens,
+            prompt_ids=jnp.asarray(ids) if self.spec_k else None,
         )
         if slot_lora is not None:
             self.slot_lora = slot_lora
+        if ids_buf is not None:
+            self.ids_buf, self.buf_lens = ids_buf, buf_lens
         self._pending_first.append((joiners, first))
 
     # -- scheduling ----------------------------------------------------------
@@ -552,13 +669,28 @@ class ContinuousBatcher:
         active: List[Optional[Request]] = list(self.slot_req)
 
         self.key, sub = jax.random.split(self.key)
-        toks, self.cur_tok, self.cache, self.lengths = slot_decode_steps(
-            self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
-            self.temps, self.topps, sub, self.chunk, self.slot_lora,
-        )
+        if self.spec_k:
+            (toks, counts, self.cur_tok, self.cache, self.lengths,
+             self.ids_buf, self.buf_lens) = slot_decode_steps_spec(
+                self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
+                self.temps, self.topps, sub, self.chunk, self.ids_buf,
+                self.buf_lens, self.spec_k, self.spec_ngram, self.slot_lora,
+            )
+            packed = jnp.concatenate([counts[:, None], toks], axis=1)
+        else:
+            toks, self.cur_tok, self.cache, self.lengths = slot_decode_steps(
+                self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
+                self.temps, self.topps, sub, self.chunk, self.slot_lora,
+            )
+            packed = toks
         if had_active:
             self._fill_slots()  # overlapped: runs while the chunk decodes
-        toks_np = np.asarray(toks)  # one host fetch per chunk
+        packed_np = np.asarray(packed)  # one host fetch per chunk
+        if self.spec_k:
+            counts_np, toks_np = packed_np[:, 0], packed_np[:, 1:]
+        else:
+            toks_np = packed_np
+            counts_np = np.full((toks_np.shape[0],), self.chunk, np.int32)
         touched: List[Request] = []
 
         # Deferred first tokens: they precede the chunk's tokens in each
@@ -586,7 +718,7 @@ class ContinuousBatcher:
                 continue  # empty at dispatch, finished above, or re-joined
             if req not in touched:
                 touched.append(req)
-            for t in toks_np[slot].tolist():
+            for t in toks_np[slot][: counts_np[slot]].tolist():
                 req.tokens.append(int(t))
                 if t == self.eos_token_id or len(req.tokens) >= req.max_new_tokens:
                     self._finish(slot)

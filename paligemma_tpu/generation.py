@@ -97,27 +97,32 @@ def decode_steps(
     return toks.T, tok, cache
 
 
-def _ngram_propose(ids_buf, buf_len, token, k: int, n: int):
-    """Prompt-lookup draft: (1, k-1) proposed continuation tokens.
+def _ngram_propose_row(ids_row, buf_len, token, k: int, n: int):
+    """Prompt-lookup draft for ONE row: (k-1,) proposed continuation tokens.
 
     Finds the most recent earlier occurrence of the last (n-1)-gram in
-    ``ids_buf[:, :buf_len]`` and proposes the k-1 tokens that followed it
+    ``ids_row[:buf_len]`` and proposes the k-1 tokens that followed it
     (the checkpoint-free draft model of prompt-lookup / n-gram speculative
     decoding — apt for document VQA, where answers quote the prompt). When
     no occurrence exists, proposes the last token repeated; wrong drafts
     cost nothing but their (weight-stream-amortized) verify slot.
     """
-    L = ids_buf.shape[1]
-    gram = jax.lax.dynamic_slice(ids_buf, (0, buf_len - (n - 1)), (1, n - 1))[0]
+    L = ids_row.shape[0]
+    gram = jax.lax.dynamic_slice(ids_row, (buf_len - (n - 1),), (n - 1,))
     idx = jnp.arange(L)[:, None] + jnp.arange(n - 1)[None, :]
-    wins = ids_buf[0][jnp.clip(idx, 0, L - 1)]
+    wins = ids_row[jnp.clip(idx, 0, L - 1)]
     starts = jnp.arange(L)
     valid = jnp.all(wins == gram[None, :], axis=-1) & (starts + n - 1 < buf_len)
     pos = jnp.max(jnp.where(valid, starts, -1))
     cont = jax.lax.dynamic_slice(
-        ids_buf, (0, jnp.maximum(pos, 0) + (n - 1)), (1, k - 1)
+        ids_row, (jnp.maximum(pos, 0) + (n - 1),), (k - 1,)
     )
-    return jnp.where(pos >= 0, cont, jnp.broadcast_to(token, (1, k - 1)))
+    return jnp.where(pos >= 0, cont, jnp.broadcast_to(token, (k - 1,)))
+
+
+def _ngram_propose(ids_buf, buf_len, token, k: int, n: int):
+    """(1, k-1) draft for the batch-1 driver (see ``_ngram_propose_row``)."""
+    return _ngram_propose_row(ids_buf[0], buf_len, token[0, 0], k, n)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "k", "n"))

@@ -226,8 +226,15 @@ def _attention(
             # Per-row write positions (continuous batching: each slot is at
             # its own sequence length) — one scatter instead of a slice.
             rows = jnp.arange(b)
-            ck = ck.at[rows, write_pos].set(k[:, 0].astype(ck.dtype))
-            cv = cv.at[rows, write_pos].set(v[:, 0].astype(cv.dtype))
+            if t == 1:
+                ck = ck.at[rows, write_pos].set(k[:, 0].astype(ck.dtype))
+                cv = cv.at[rows, write_pos].set(v[:, 0].astype(cv.dtype))
+            else:
+                # Per-row speculative verify: row b writes its k fresh
+                # entries at write_pos[b]..write_pos[b]+t-1.
+                pos = write_pos[:, None] + jnp.arange(t)[None, :]
+                ck = ck.at[rows[:, None], pos].set(k.astype(ck.dtype))
+                cv = cv.at[rows[:, None], pos].set(v.astype(cv.dtype))
         else:
             ck = jax.lax.dynamic_update_slice(
                 ck, k.astype(ck.dtype), (0, write_pos, 0, 0)
@@ -370,11 +377,28 @@ def forward(
     if row_lengths is not None:
         # Continuous batching: each row (slot) writes this step's K/V at its
         # own length and sees exactly its own [0, len_b] prefix.
-        if not use_cache or inputs_embeds.shape[1] != 1:
-            raise ValueError("row_lengths requires a cache and single-token decode")
+        t = inputs_embeds.shape[1]
+        if not use_cache or (t != 1 and not multi_token_decode):
+            raise ValueError(
+                "row_lengths requires a cache and single-token decode "
+                "(or multi_token_decode for the speculative verify step)")
         write_pos = row_lengths.astype(jnp.int32)
-        if mask is None:
+        if mask is None and t == 1:
             mask = make_length_mask(write_pos + 1)
+        elif mask is None:
+            # Per-row speculative verify: row b's query i sees its accepted
+            # prefix [0, len_b) plus this step's fresh tokens len_b..len_b+i
+            # (causal among the drafts).
+            s_len = cache.k.shape[2]
+            allowed = (
+                jnp.arange(s_len)[None, None, :]
+                <= write_pos[:, None, None] + jnp.arange(t)[None, :, None]
+            )
+            from paligemma_tpu.ops.attention import MASK_VALUE
+
+            mask = jnp.where(allowed, 0.0, MASK_VALUE).astype(jnp.float32)[
+                :, None, None, :, :
+            ]
     elif use_cache:
         t = inputs_embeds.shape[1]
         if mask is None and t == 1:

@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--n_req", type=int, default=32,
                     help="workload size; raise it to give wide-slot configs "
                          "a real backlog (32 over 16 slots is only ~2 waves)")
+    ap.add_argument("--spec_k", type=int, default=0,
+                    help=">=2: per-slot n-gram speculative decoding (each "
+                         "chunk = `chunk` verify iterations of k tokens)")
     ap.add_argument("--skip_coalesced", action="store_true",
                     help="measure only the continuous engine (skip the "
                          "coalescing baseline and its batch-shape compiles "
@@ -96,6 +99,7 @@ def main():
             params, cfg, proc, n_slots=args.n_slots,
             prompt_budget=budget_prompt,
             max_new_tokens=128, chunk=args.chunk, cache_dtype=dtype,
+            spec_k=args.spec_k,
         )
         for p, im, b in zip(prompts, images, budgets):
             eng.submit(p, im, max_new_tokens=b)
@@ -145,11 +149,14 @@ def main():
         "coalesced_agg_tok_s": round(agg_w, 1) if agg_w == agg_w else None,
         "speedup": round(agg_c / agg_w, 3) if agg_w == agg_w else None,
     }
+    out["spec_k"] = args.spec_k
     tag = "" if args.quant == "none" else f"_{args.quant}"
     if (args.n_slots, args.chunk) != (8, 16):
         tag += f"_s{args.n_slots}c{args.chunk}"
     if args.n_req != 32:
         tag += f"_r{args.n_req}"
+    if args.spec_k:
+        tag += f"_spec{args.spec_k}"
     name = f"continuous_bench{tag}.json"
     with open(name, "w") as f:
         json.dump(out, f, indent=2)

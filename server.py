@@ -338,7 +338,7 @@ class ContinuousRunner:
     def __init__(self, engine: Engine, n_slots: int = 4, chunk: int = 8,
                  max_new_cap: int = 256, prompt_extra=(64,),
                  lora_rank=None, adapters=None, prefill_cache=0,
-                 queue_depth: int = 64, deadline_s=None):
+                 queue_depth: int = 64, deadline_s=None, spec_k: int = 0):
         from paligemma_tpu.continuous import ContinuousBatcher
 
         self.engine = engine
@@ -354,6 +354,7 @@ class ContinuousRunner:
             cache_dtype=engine._act_dtype(),
             lora_rank=lora_rank,
             prefill_cache_size=prefill_cache,
+            spec_k=spec_k,
         )
         # Multi-tenant LoRA: {name: (adapter_tree, scale)} registered once;
         # requests pick one by name ("adapter" field).
@@ -846,6 +847,11 @@ def main(argv=None):
                    help="per-request wall-clock deadline; exceeding it "
                         "evicts the request (decode slot freed at the next "
                         "chunk boundary) with a 504; 0 disables")
+    p.add_argument("--spec_k", type=int, default=0,
+                   help="continuous mode, >=2: per-slot n-gram speculative "
+                        "decoding — greedy requests emit up to k exact "
+                        "tokens per verify at the workload's acceptance "
+                        "rate; sampled requests unaffected (REPORT.md)")
     p.add_argument("--prefill_cache", type=int, default=0,
                    help="continuous mode: LRU size of the content-keyed "
                         "prefix cache — repeated identical (prompt, image, "
@@ -908,6 +914,7 @@ def main(argv=None):
             # Deadline armed AFTER warm-up: the warm-up requests themselves
             # pay multi-minute remote compiles and must not be evicted.
             deadline_s=None,
+            spec_k=args.spec_k,
         )
         # Warm the slot programs (bucketed prefill + slot decode + insert)
         # for EVERY prompt bucket — a shape compiled mid-traffic stalls all
