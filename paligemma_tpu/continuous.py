@@ -360,6 +360,10 @@ class ContinuousBatcher:
             jnp.zeros((b, s_len), jnp.int32) if self.spec_k else None
         )
         self.buf_lens = jnp.zeros((b,), jnp.int32) if self.spec_k else None
+        # Acceptance diagnostics: emitted tokens / verify iterations over
+        # occupied slots (>=1.0; the speedup potential of speculation).
+        self.spec_verifies = 0
+        self.spec_emitted = 0
         self.lengths = jnp.zeros((b,), jnp.int32)
         self.cur_tok = jnp.zeros((b, 1), jnp.int32)
         self.temps = jnp.zeros((b,), jnp.float32)  # <= 0 -> greedy
@@ -688,6 +692,10 @@ class ContinuousBatcher:
         packed_np = np.asarray(packed)  # one host fetch per chunk
         if self.spec_k:
             counts_np, toks_np = packed_np[:, 0], packed_np[:, 1:]
+            occupied = [i for i in range(self.n_slots)
+                        if active[i] is not None]
+            self.spec_verifies += self.chunk * len(occupied)
+            self.spec_emitted += int(sum(counts_np[i] for i in occupied))
         else:
             toks_np = packed_np
             counts_np = np.full((toks_np.shape[0],), self.chunk, np.int32)

@@ -113,6 +113,9 @@ def main():
     wall_c, eng = run_continuous()
     agg_c = useful / wall_c
     log(f"continuous: {wall_c:.2f}s -> {agg_c:.1f} useful tok/s aggregate")
+    if args.spec_k and eng.spec_verifies:
+        log(f"  spec acceptance: {eng.spec_emitted}/{eng.spec_verifies} = "
+            f"{eng.spec_emitted / eng.spec_verifies:.3f} tokens/verify")
 
     # --- window coalescing, windows of n_slots (server Batcher behavior) ---
     w = args.n_slots
@@ -150,6 +153,9 @@ def main():
         "speedup": round(agg_c / agg_w, 3) if agg_w == agg_w else None,
     }
     out["spec_k"] = args.spec_k
+    if args.spec_k and eng.spec_verifies:
+        out["spec_tokens_per_verify"] = round(
+            eng.spec_emitted / eng.spec_verifies, 3)
     tag = "" if args.quant == "none" else f"_{args.quant}"
     if (args.n_slots, args.chunk) != (8, 16):
         tag += f"_s{args.n_slots}c{args.chunk}"
