@@ -69,6 +69,12 @@ def test_inference(
             cache_dtype = jnp.bfloat16
     pix = pix.astype(cache_dtype)
 
+    if speculative and do_sample:
+        print(
+            "note: --speculative is greedy-only (speculative acceptance is "
+            "exact only for greedy); --do_sample uses the plain sampled path",
+            file=sys.stderr,
+        )
     if speculative and not do_sample:
         tokens = generation.generate_spec(
             params, cfg, ids, pix,

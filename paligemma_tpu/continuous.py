@@ -339,8 +339,9 @@ class ContinuousBatcher:
 
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)
-        if self.spec_k == 1:
-            raise ValueError("spec_k must be 0 (off) or >= 2 (1+ drafts)")
+        if self.spec_k and self.spec_k < 2:
+            raise ValueError(
+                f"spec_k must be 0 (off) or >= 2 (1+ drafts), got {spec_k}")
         # Speculative engines: a chunk runs `chunk` verify iterations, each
         # advancing a row by up to spec_k tokens and writing spec_k entries
         # past its accepted length — size the cache for the worst case
@@ -692,10 +693,13 @@ class ContinuousBatcher:
         packed_np = np.asarray(packed)  # one host fetch per chunk
         if self.spec_k:
             counts_np, toks_np = packed_np[:, 0], packed_np[:, 1:]
-            occupied = [i for i in range(self.n_slots)
-                        if active[i] is not None]
-            self.spec_verifies += self.chunk * len(occupied)
-            self.spec_emitted += int(sum(counts_np[i] for i in occupied))
+            # Useful-acceptance accounting: verifies include every iteration
+            # an occupied slot ran (post-EOS/budget iterations are real
+            # waste), while emitted counts only tokens actually DELIVERED to
+            # requests (incremented in the distribution loop below) — so
+            # tokens/verify is the net speedup factor, not a flattered one.
+            self.spec_verifies += self.chunk * sum(
+                1 for i in range(self.n_slots) if active[i] is not None)
         else:
             toks_np = packed_np
             counts_np = np.full((toks_np.shape[0],), self.chunk, np.int32)
@@ -718,9 +722,15 @@ class ContinuousBatcher:
         for slot in range(self.n_slots):
             cur = self.slot_req[slot]
             if cur is not None and cur.cancelled:
-                # Client gone: free the slot now instead of decoding to
-                # max_new_tokens.
+                # Cancelled (client gone, or a server-side deadline evicted
+                # it): free the slot now instead of decoding to
+                # max_new_tokens. The request must still reach ``touched`` —
+                # a streaming waiter learns about the eviction (and any
+                # eviction error) ONLY through its on_tokens hook, and would
+                # otherwise block forever.
                 self._finish(slot)
+                if cur not in touched:
+                    touched.append(cur)
             req = active[slot]
             if req is None or self.slot_req[slot] is not req:
                 continue  # empty at dispatch, finished above, or re-joined
@@ -728,6 +738,8 @@ class ContinuousBatcher:
                 touched.append(req)
             for t in toks_np[slot][: counts_np[slot]].tolist():
                 req.tokens.append(int(t))
+                if self.spec_k:
+                    self.spec_emitted += 1
                 if t == self.eos_token_id or len(req.tokens) >= req.max_new_tokens:
                     self._finish(slot)
                     break

@@ -192,7 +192,6 @@ def generate_spec(
     pixel_values: jnp.ndarray,
     max_new_tokens: int,
     eos_token_id: int,
-    key: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
     chunk: int = 64,
     k: int = 8,

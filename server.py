@@ -144,13 +144,16 @@ class Engine:
             dtype = jnp.bfloat16
         return dtype
 
-    def generate_stream(self, prompt, image, max_tokens, temperature, top_p, do_sample):
+    def generate_stream(self, prompt, image, max_tokens, temperature, top_p,
+                        do_sample, deadline_s=None):
         """Yields (new_tokens, text_delta) per compiled decode chunk.
 
         Generation runs in a worker thread that holds the engine lock only
         while computing; chunks flow through an unbounded queue. A slow or
         stalled SSE client therefore cannot hold the lock and starve every
-        other request (it only delays its own connection).
+        other request (it only delays its own connection). ``deadline_s``
+        evicts the stream at the next chunk boundary with a RequestTimeout
+        (surfaced as the terminal SSE error event).
         """
         import jax.numpy as jnp
 
@@ -164,6 +167,7 @@ class Engine:
         chunks: "queue.Queue" = queue.Queue()
         SENTINEL = object()
         cancel = threading.Event()  # set when the SSE client goes away
+        deadline = time.time() + deadline_s if deadline_s else None
 
         def worker():
             try:
@@ -181,6 +185,8 @@ class Engine:
                             # abandoned long-max_tokens stream does not hold
                             # the engine lock against every other request.
                             break
+                        if deadline is not None and time.time() > deadline:
+                            raise RequestTimeout(deadline_s)
                 chunks.put(SENTINEL)
             except Exception as e:  # surfaced to the consumer
                 chunks.put(e)
@@ -729,7 +735,10 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None):
                     if isinstance(batcher, ContinuousRunner):
                         gen = batcher.submit_stream(prompt, image, **params)
                     else:
-                        gen = engine.generate_stream(prompt, image, **params)
+                        gen = engine.generate_stream(
+                            prompt, image, **params,
+                            deadline_s=admission.deadline_s,
+                        )
                     first = next(gen)  # run prefill before committing to 200
                 except StopIteration:
                     first = None
@@ -802,9 +811,10 @@ def main(argv=None):
     p.add_argument("--n_slots", type=int, default=32,
                    help="continuous mode: decode batch width. Default is the "
                         "measured single-chip throughput peak (int8, 32 "
-                        "slots, chunk 32: 1199.7 useful tok/s on the "
-                        "backlogged mixed-length workload; 48 slots is flat "
-                        "— REPORT.md round 3). Lower it on small boxes.")
+                        "slots, chunk 32: 1253.5 useful tok/s on the "
+                        "256-request backlogged mixed-length workload; 48 "
+                        "slots is flat — REPORT.md round 3). Lower it on "
+                        "small boxes.")
     p.add_argument("--chunk", type=int, default=32,
                    help="continuous mode: decode steps per dispatch — the "
                         "streaming-latency vs dispatch-amortization knob "

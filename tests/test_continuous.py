@@ -299,6 +299,25 @@ def test_continuous_engine_tp_sharded(setup):
     assert run(sparams) == base
 
 
+def test_cancel_active_slot_notifies_stream(setup):
+    """A request cancelled (or deadline-evicted) while DECODING must still
+    deliver a terminal on_tokens(done=True) — a streaming waiter would
+    otherwise block forever (round-3 review finding)."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=1, max_new_tokens=12, chunk=2,
+        cache_dtype=jnp.float32,
+    )
+    r = eng.submit(prompts[0], images[0])
+    events = []
+    r.on_tokens = lambda toks, done: events.append((list(toks), done))
+    eng.step()  # join + first chunk
+    r.cancelled = True
+    eng.run()
+    assert r.done
+    assert events and events[-1][1] is True, events
+
+
 def test_cancel_while_queued(setup):
     """A request cancelled before it ever joins a slot completes without
     decoding a single token."""
