@@ -45,8 +45,9 @@ def test_inference(
     """Greedy/top-p generation loop (reference: inference.py:34-85).
 
     Returns ``prompt + decoded`` exactly like the reference.
-    ``speculative=True`` (greedy only) routes through n-gram speculative
-    decoding — token-identical output, faster when drafts hit.
+    ``speculative=True`` routes through n-gram speculative decoding —
+    greedy output is token-identical, sampled output draws the exact
+    plain-sampling distribution; faster when drafts hit.
     """
     import jax
     import jax.numpy as jnp
@@ -69,18 +70,14 @@ def test_inference(
             cache_dtype = jnp.bfloat16
     pix = pix.astype(cache_dtype)
 
-    if speculative and do_sample:
-        print(
-            "note: --speculative is greedy-only (speculative acceptance is "
-            "exact only for greedy); --do_sample uses the plain sampled path",
-            file=sys.stderr,
-        )
-    if speculative and not do_sample:
+    if speculative:
         tokens = generation.generate_spec(
             params, cfg, ids, pix,
             max_new_tokens=max_tokens_to_generate,
             eos_token_id=processor.tokenizer.eos_token_id,
             cache_dtype=cache_dtype,
+            do_sample=do_sample, temperature=temperature, top_p=top_p,
+            key=jax.random.PRNGKey(seed),
         )
     else:
         tokens = generation.generate_chunked(
@@ -162,9 +159,10 @@ def main(argv=None):
                         "config — ~2x decode throughput, token-identical "
                         "to bf16 on the measured window)")
     p.add_argument("--speculative", action="store_true",
-                   help="greedy-only: n-gram speculative decoding — "
-                        "token-identical output, faster when the answer "
-                        "repeats context (document VQA)")
+                   help="n-gram speculative decoding — greedy output is "
+                        "token-identical, sampled output draws the exact "
+                        "plain-sampling distribution; faster when the "
+                        "answer repeats context (document VQA)")
     args = p.parse_args(argv)
 
     import jax

@@ -105,10 +105,11 @@ def slot_decode_steps_spec(
     history, verifies all slots' [current, drafts] in one k-token forward
     (per-row write positions + per-row per-query threshold masks — see
     gemma.forward(multi_token_decode=True)), and accepts per-row the longest
-    draft prefix agreeing with that row's decision rule. Greedy rows
-    (temp <= 0) emit matched+1 exact-greedy tokens; sampled rows emit
-    exactly their 1 sampled token per iteration (speculative acceptance is
-    only exact for greedy), so mixed batches share the program.
+    prefix where the drafts match that row's own choices. Greedy rows
+    (temp <= 0) emit exact-greedy tokens; sampled rows emit draws whose
+    joint distribution equals plain per-step sampling (exact speculative
+    sampling for delta drafts — see the acceptance comment in the body);
+    mixed batches share the one compiled program.
 
     Returns (toks (B, n_iters*k), counts (B,), last token (B, 1), cache,
     lengths, ids_buf, buf_lens); row b's valid tokens are
@@ -133,14 +134,25 @@ def slot_decode_steps_spec(
             cache=cache, row_lengths=lens, lora=lora, multi_token_decode=True,
         )
         logits = gemma.logits(params["llm"], hidden)  # (B, k, V) fp32
-        a = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
-        # Sampled rows draw their (single) token from position 0's logits.
-        s0 = sample_rows(logits[:, 0, :], step_key, temps, topps)
-        greedy_row = temps <= 0.0
-        a = a.at[:, 0].set(jnp.where(greedy_row, a[:, 0], s0.astype(jnp.int32)))
+        # One draw per position per row (rows with temp <= 0 decode greedily
+        # inside sample_rows), then ONE prefix-match acceptance rule for all
+        # rows. Greedy rows: exact by argmax determinism. Sampled rows:
+        # exact speculative SAMPLING for delta (n-gram) drafts — sampling
+        # s_i ~ p_i and accepting while s_i == d_i gives marginals identical
+        # to plain sampling (P(d_i) = p_i(d_i), P(x != d_i) = p_i(x)), and
+        # position i+1's logits are valid exactly when d_i was the emitted
+        # token. Draws are independent per position via fold_in.
+        a = jnp.stack(
+            [
+                sample_rows(logits[:, i, :], jax.random.fold_in(step_key, i),
+                            temps, topps)
+                for i in range(k)
+            ],
+            axis=1,
+        ).astype(jnp.int32)  # (B, k)
         eq = (inp[:, 1:] == a[:, :-1]).astype(jnp.int32)
         matched = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
-        accept = jnp.where(greedy_row, matched + 1, 1)  # (B,)
+        accept = matched + 1  # (B,)
         cache = KVCache(k=vcache.k, v=vcache.v, length=cache.length)
         out = jax.vmap(
             lambda row, vals, off: jax.lax.dynamic_update_slice(row, vals, (off,))
@@ -275,10 +287,10 @@ class ContinuousBatcher:
       chunk: decode steps per dispatch; joins/evictions happen between chunks.
       spec_k: >= 2 enables per-slot n-gram speculative decoding — each chunk
         runs ``chunk`` verify iterations of k tokens (one weight stream per
-        iteration for ALL slots), so greedy slots emit 1..k exact-greedy
-        tokens per iteration at the workload's acceptance rate; sampled
-        slots emit exactly 1 (speculative acceptance is only exact for
-        greedy) and share the program. 0 = plain one-token steps.
+        iteration for ALL slots); every slot emits 1..k tokens per iteration
+        at the workload's acceptance rate. Greedy slots stay exactly greedy;
+        sampled slots sample the exact plain-sampling distribution
+        (delta-draft speculative sampling). 0 = plain one-token steps.
       lora_rank: enable multi-tenant LoRA serving — every slot can carry a
         different registered adapter (``register_adapter`` + ``submit(...,
         adapter=name)``). Adapters of rank <= lora_rank share one compiled

@@ -125,7 +125,11 @@ def _ngram_propose(ids_buf, buf_len, token, k: int, n: int):
     return _ngram_propose_row(ids_buf[0], buf_len, token[0, 0], k, n)[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "k", "n"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "k", "n", "do_sample", "temperature",
+                     "top_p"),
+)
 def decode_steps_spec(
     params,
     cfg: PaliGemmaConfig,
@@ -136,33 +140,56 @@ def decode_steps_spec(
     n_steps: int,
     k: int = 8,
     n: int = 3,
+    do_sample: bool = False,
+    temperature: float = 0.0,
+    top_p: float = 0.9,
+    key: Optional[jax.Array] = None,
 ):
-    """Greedy speculative decode of AT LEAST ``n_steps`` tokens as ONE
-    compiled program (n-gram drafts + k-token verify steps).
+    """Speculative decode of AT LEAST ``n_steps`` tokens as ONE compiled
+    program (n-gram drafts + k-token verify steps).
 
     Each verify step feeds [last, d1..d_{k-1}] through ``verify_step`` (one
-    weight stream for k positions), accepts the longest prefix where the
-    drafts match the model's own greedy choices, and emits matched+1 real
-    tokens — output is exactly the plain greedy stream (tested), only
-    cheaper when drafts hit. Returns
-    (out_buf (1, n_steps+k), produced, iters, token, cache, ids_buf, buf_len);
-    the first ``produced`` columns of out_buf are valid.
+    weight stream for k positions), draws the model's choice at every
+    position, and accepts the longest prefix where the drafts match those
+    choices. Greedy: the output is exactly the plain greedy stream (tested).
+    Sampled: each position draws from its own top-p distribution, which for
+    delta (n-gram) drafts IS exact speculative sampling — the emitted joint
+    distribution equals plain per-step sampling (P(d_i) = p_i(d_i),
+    P(x != d_i) = p_i(x)); the stream differs from ``generate_chunked``'s
+    only in PRNG consumption (distribution parity, SURVEY §7). Returns
+    (out_buf (1, n_steps+k), produced, iters, token, cache, ids_buf,
+    buf_len); the first ``produced`` columns of out_buf are valid.
 
     Caller must size ``cache`` and ``ids_buf`` with k tokens of slack past
     the last token it will consume (stale K/V beyond the accepted length is
     masked and overwritten; see ``paligemma.verify_step``).
     """
     out_buf = jnp.zeros((1, n_steps + k), jnp.int32)
+    sampling = do_sample and temperature > 0.0
+    if key is None:
+        key = jax.random.PRNGKey(0)
 
     def cond(c):
         return c[0] < n_steps
 
     def body(c):
-        produced, iters, token, cache, ids_buf, buf_len, out_buf = c
+        produced, iters, token, cache, ids_buf, buf_len, out_buf, key = c
         drafts = _ngram_propose(ids_buf, buf_len, token, k, n)
         inp = jnp.concatenate([token, drafts], axis=1)  # (1, k)
         logits, vcache = paligemma.verify_step(params, cfg, inp, cache)
-        a = jnp.argmax(logits[0].astype(jnp.float32), axis=-1).astype(jnp.int32)
+        if sampling:
+            key, sub = jax.random.split(key)
+            a = jnp.concatenate(
+                [
+                    sample_top_p(logits[:, i, :], jax.random.fold_in(sub, i),
+                                 temperature, top_p)
+                    for i in range(k)
+                ]
+            ).astype(jnp.int32)
+        else:
+            a = jnp.argmax(
+                logits[0].astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)
         matched = jnp.sum(jnp.cumprod((drafts[0] == a[:-1]).astype(jnp.int32)))
         accept = matched + 1  # emitted tokens this iteration
         cache = KVCache(k=vcache.k, v=vcache.v, length=cache.length + accept)
@@ -172,14 +199,14 @@ def decode_steps_spec(
         ids_buf = jax.lax.dynamic_update_slice(ids_buf, a[None, :], (0, buf_len))
         token = jax.lax.dynamic_slice(a, (matched,), (1,))[None, :]
         return (produced + accept, iters + 1, token, cache,
-                ids_buf, buf_len + accept, out_buf)
+                ids_buf, buf_len + accept, out_buf, key)
 
     produced0 = jnp.zeros((), jnp.int32)
-    produced, iters, token, cache, ids_buf, buf_len, out_buf = (
+    produced, iters, token, cache, ids_buf, buf_len, out_buf, key = (
         jax.lax.while_loop(
             cond, body,
             (produced0, produced0, token, cache, ids_buf,
-             buf_len.astype(jnp.int32), out_buf),
+             buf_len.astype(jnp.int32), out_buf, key),
         )
     )
     return out_buf, produced, iters, token, cache, ids_buf, buf_len
@@ -196,11 +223,18 @@ def generate_spec(
     chunk: int = 64,
     k: int = 8,
     n: int = 3,
+    do_sample: bool = False,
+    temperature: float = 0.0,
+    top_p: float = 0.9,
+    key: Optional[jax.Array] = None,
     stats: Optional[dict] = None,
 ) -> list:
-    """Greedy generation via n-gram speculative decoding — token-identical
-    to ``generate_chunked`` (greedy), faster whenever drafts hit. Sampling
-    is not supported (speculative acceptance is exact only for greedy).
+    """Generation via n-gram speculative decoding. Greedy output is
+    token-identical to ``generate_chunked``; sampled output (``do_sample``
+    + temperature > 0) draws the exact plain-sampling distribution via
+    delta-draft speculative sampling (the stream differs from
+    ``generate_chunked``'s only in PRNG consumption — distribution parity,
+    SURVEY §7). Faster whenever drafts hit.
 
     ``stats`` (optional dict) receives {"produced", "verify_steps",
     "tokens_per_verify"} for acceptance-rate reporting.
@@ -208,6 +242,8 @@ def generate_spec(
     b, t = input_ids.shape
     if b != 1:
         raise ValueError("generate_spec is batch-1 (like generate)")
+    sampling = do_sample and temperature > 0.0
+    key = key if key is not None else jax.random.PRNGKey(0)
     n_chunks = -(-max(max_new_tokens - 1, 1) // chunk)
     # Every chunk call produces in [chunk, chunk+k-1] tokens (the final
     # verify may overshoot), and the last call's in-flight verify writes k
@@ -217,7 +253,11 @@ def generate_spec(
     alloc = n_chunks * (chunk + k) + k
     cache = make_cache(cfg, b, t, alloc, cache_dtype)
     logits, cache = _prefill_jit(params, cfg, input_ids, pixel_values, cache)
-    tok = greedy(logits[:, -1, :])
+    key, sub = jax.random.split(key)
+    if sampling:
+        tok = sample_top_p(logits[:, -1, :], sub, temperature, top_p)
+    else:
+        tok = greedy(logits[:, -1, :])
     out = [int(tok[0])]
     if out[-1] == eos_token_id or max_new_tokens == 1:
         return out[:max_new_tokens]
@@ -233,9 +273,12 @@ def generate_spec(
 
     produced_total, verify_total = 0, 0
     while len(out) < max_new_tokens:
+        key, sub = jax.random.split(key)
         out_buf, produced, iters, token, cache, ids_buf, buf_len = (
             decode_steps_spec(
-                params, cfg, token, cache, ids_buf, buf_len, chunk, k, n
+                params, cfg, token, cache, ids_buf, buf_len, chunk, k, n,
+                do_sample=do_sample, temperature=temperature, top_p=top_p,
+                key=sub,
             )
         )
         # ONE host fetch per chunk: each fetch costs ~25 ms over the tunnel

@@ -78,6 +78,26 @@ def test_spec_engine_mixed_sampling(setup):
     assert all(isinstance(t, int) for t in spec[1])
 
 
+def test_spec_engine_sampled_near_zero_temp_is_greedy(setup):
+    """The engine's sampled speculative path at temperature ~0 must emit
+    exactly the greedy stream (deterministic check of the per-row
+    speculative-sampling branch; nucleus keeps only the argmax)."""
+    params, cfg, proc, prompts, images = setup
+    subs_greedy = [((prompts[i], images[i]), dict(max_new_tokens=7))
+                   for i in range(2)]
+    base, _ = run_engine(params, cfg, proc, subs_greedy, spec_k=0)
+    subs_sampled = [
+        ((prompts[i], images[i]),
+         dict(max_new_tokens=7, do_sample=True, temperature=1e-6))
+        for i in range(2)
+    ]
+    spec, eng = run_engine(params, cfg, proc, subs_sampled, spec_k=4)
+    assert spec == base, (spec, base)
+    # The sampled rows really went through speculation (acceptance can
+    # exceed 1 token/verify).
+    assert eng.spec_verifies > 0
+
+
 def test_spec_engine_multi_lora(setup):
     """Per-slot adapters compose with per-slot speculation: adapter and base
     greedy requests both stay identical to the plain-lora engine."""

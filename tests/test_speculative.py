@@ -105,6 +105,63 @@ def test_generate_spec_eos_trim(setup):
     assert spec[-1] == eos and eos not in spec[:-1]
 
 
+def test_spec_sampled_near_zero_temperature_is_greedy(setup):
+    """The sampled speculative path, driven at temperature ~0, must emit
+    exactly the greedy stream — a deterministic end-to-end check of the
+    sampling branch (nucleus keeps only the argmax at t -> 0)."""
+    params, cfg, mk = setup
+    ids, pix = mk(6)
+    base = generation.generate_chunked(
+        params, cfg, ids, pix, max_new_tokens=16, eos_token_id=-1,
+        cache_dtype=jnp.float32, chunk=8)
+    spec = generation.generate_spec(
+        params, cfg, ids, pix, max_new_tokens=16, eos_token_id=-1,
+        cache_dtype=jnp.float32, chunk=8, k=4, n=3,
+        do_sample=True, temperature=1e-6, top_p=0.9,
+        key=jax.random.PRNGKey(3))
+    assert spec == base
+
+
+def test_spec_sampled_distribution_parity(setup):
+    """Monte-Carlo: the sampled speculative stream's per-position marginals
+    match plain sampling's (the delta-draft speculative-sampling identity).
+    Loose tolerance — this guards against gross acceptance bias, not noise."""
+    import collections
+
+    params, cfg, mk = setup
+    ids, pix = mk(7)
+    n_runs, max_new = 220, 3
+    counters = {
+        "plain": [collections.Counter() for _ in range(max_new)],
+        "spec": [collections.Counter() for _ in range(max_new)],
+    }
+    for s in range(n_runs):
+        plain = generation.generate_chunked(
+            params, cfg, ids, pix, max_new_tokens=max_new, eos_token_id=-1,
+            cache_dtype=jnp.float32, chunk=4, do_sample=True,
+            temperature=0.8, top_p=0.8, key=jax.random.PRNGKey(1000 + s))
+        spec = generation.generate_spec(
+            params, cfg, ids, pix, max_new_tokens=max_new, eos_token_id=-1,
+            cache_dtype=jnp.float32, chunk=4, k=3, n=2, do_sample=True,
+            temperature=0.8, top_p=0.8, key=jax.random.PRNGKey(5000 + s))
+        for pos in range(max_new):
+            if pos < len(plain):
+                counters["plain"][pos][plain[pos]] += 1
+            if pos < len(spec):
+                counters["spec"][pos][spec[pos]] += 1
+
+    for pos in range(max_new):
+        p, q = counters["plain"][pos], counters["spec"][pos]
+        # Full-support L1 is statistically useless on a long-tailed law at
+        # this sample size (two same-law draws measure ~sqrt(K/n) ~= 0.8);
+        # compare only the top tokens, where per-token binomial noise is
+        # ~0.02-0.03 at n=220 — an acceptance bias concentrates exactly
+        # there (accepted drafts are high-probability tokens).
+        top = [t for t, _ in (p + q).most_common(8)]
+        l1_top = sum(abs(p[t] / n_runs - q[t] / n_runs) for t in top)
+        assert l1_top < 0.30, (pos, l1_top, p.most_common(5), q.most_common(5))
+
+
 def test_spec_accepts_on_repetitive_text(setup):
     """A prompt whose tail repeats an earlier n-gram must give >1
     tokens/verify when the model itself continues the repetition — at

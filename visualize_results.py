@@ -223,13 +223,31 @@ def main(argv=None):
             with open(path) as f:
                 d = json.load(f)
             pts.append((slots, d["continuous_agg_tok_s"], d["n_req"]))
+    spec_files = [
+        (16, "continuous_bench_int8_s16c8_r256_spec4.json"),
+        (24, "continuous_bench_int8_s24c8_r256_spec4.json"),
+        (32, "continuous_bench_int8_s32c8_r256_spec4.json"),
+    ]
+    spec_pts = []
+    for slots, fname in spec_files:
+        path = os.path.join(args.serving_dir, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            spec_pts.append((slots, d["continuous_agg_tok_s"]))
     if len(pts) >= 3:
         fig, ax = plt.subplots()
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
-        ax.plot(xs, ys, marker="o", markersize=5, color=COLOR_KV)
+        ax.plot(xs, ys, marker="o", markersize=5, color=COLOR_KV,
+                label="plain")
         for x, y, r in pts:
             ax.text(x, y + 20, f"{y:.0f}\n(r{r})", ha="center", fontsize=7)
+        if len(spec_pts) >= 2:
+            ax.plot([p[0] for p in spec_pts], [p[1] for p in spec_pts],
+                    marker="s", markersize=5, color=COLOR_SINGLE,
+                    linestyle="--", label="speculative k=4")
+            ax.legend(frameon=False, fontsize=8)
         ax.set_xlabel("Decode slots (int8, chunk 32; rN = backlog size)")
         ax.set_ylabel("Useful tokens/sec (aggregate)")
         ax.set_title("Continuous Serving Width Scaling")
