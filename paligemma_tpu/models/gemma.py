@@ -280,7 +280,14 @@ def _attention(
             attn = gqa_attention(
                 q, k, v, mask=mask.materialize(k.shape[1]), scale=hd**-0.5
             )
-    elif runtime.use_pallas_attention and mask is None and t > 1:
+    elif (
+        (runtime.use_pallas_attention
+         or (runtime.auto_flash_min_seq and t >= runtime.auto_flash_min_seq))
+        and mask is None and t > 1
+    ):
+        # Long bidirectional prefill (896-res: 4112 tokens): XLA would
+        # materialize the fp32 score matrix to HBM; tuned-block flash is
+        # 2.6x faster there (flash_blocks_bench.json, runtime flag docs).
         from paligemma_tpu.ops.pallas_attention import flash_attention
 
         attn = flash_attention(q, k, v, scale=hd**-0.5)

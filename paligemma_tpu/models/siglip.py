@@ -142,7 +142,10 @@ def _layer(cfg: SiglipVisionConfig, h: jnp.ndarray, lp: Params) -> jnp.ndarray:
     q, k, v = (y.reshape(b, n, nh, hd) for y in jnp.split(qkv, 3, axis=-1))
     from paligemma_tpu import runtime
 
-    if runtime.use_pallas_attention:
+    use_flash = runtime.use_pallas_attention or (
+        runtime.auto_flash_min_seq and n >= runtime.auto_flash_min_seq
+    )
+    if use_flash:
         from paligemma_tpu.ops.pallas_attention import flash_attention
 
         attn = flash_attention(q, k, v).reshape(b, n, d)

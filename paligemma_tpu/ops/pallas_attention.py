@@ -103,8 +103,8 @@ def flash_attention(
     v: jnp.ndarray,
     valid_len: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     gen_start=None,
     gen_end=None,
 ) -> jnp.ndarray:
@@ -114,6 +114,11 @@ def flash_attention(
       q: (B, T, H, D); k, v: (B, S, Hkv, D) with H % Hkv == 0.
       valid_len: optional scalar or (B,) int32: row b's kv positions >=
         valid_len[b] are masked (right-padded batches).
+      block_q, block_k: grid block sizes; default auto-scales with sequence
+        length — the 128x128 default was the WHOLE of the kernel's round-2
+        "2.2x slower at 4096" negative result (block sweep,
+        flash_blocks_bench.json: 128x128 = 10.8 ms vs 512x1024 = 4.25 vs
+        XLA 11.0 at the 896-vision shape).
     Returns:
       (B, T, H, D) in q.dtype. T and S are padded internally to block size.
     """
@@ -122,6 +127,10 @@ def flash_attention(
     hkv = k.shape[2]
     g = h // hkv
     scale = d**-0.5 if scale is None else scale
+    if block_q is None:
+        block_q = 512 if t >= 512 else 128
+    if block_k is None:
+        block_k = 1024 if s_len >= 1024 else 128
 
     t_pad = -(-t // block_q) * block_q
     s_pad = -(-s_len // block_k) * block_k

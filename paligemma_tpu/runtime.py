@@ -23,6 +23,21 @@ use_pallas_attention: bool = os.environ.get("PALIGEMMA_PALLAS_ATTENTION", "0") =
 
 scan_unroll: int = int(os.environ.get("PALIGEMMA_SCAN_UNROLL", "1"))
 
+# Auto-route t>=this attention through the Pallas flash kernel even when
+# ``use_pallas_attention`` is off: at long sequences XLA materializes the
+# fp32 score matrix to HBM (trace_vision 896: 2.2 GB/layer, 79 of 100 ms)
+# while the tuned-block flash kernel is 2.6x faster (flash_blocks_bench).
+# At short sequences XLA's fused attention wins (REPORT.md r2) — hence a
+# threshold, not a flag. 0 disables.
+auto_flash_min_seq: int = int(
+    os.environ.get("PALIGEMMA_AUTO_FLASH_MIN_SEQ", "2048")
+)
+
+
+def set_auto_flash_min_seq(n: int) -> None:
+    global auto_flash_min_seq
+    auto_flash_min_seq = n
+
 
 def set_pallas_attention(enabled: bool) -> None:
     global use_pallas_attention
