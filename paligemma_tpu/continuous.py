@@ -142,14 +142,15 @@ def slot_decode_steps_spec(
         # to plain sampling (P(d_i) = p_i(d_i), P(x != d_i) = p_i(x)), and
         # position i+1's logits are valid exactly when d_i was the emitted
         # token. Draws are independent per position via fold_in.
-        a = jnp.stack(
-            [
-                sample_rows(logits[:, i, :], jax.random.fold_in(step_key, i),
-                            temps, topps)
-                for i in range(k)
-            ],
-            axis=1,
-        ).astype(jnp.int32)  # (B, k)
+        # ONE batched sample_rows over (B*k, V): the nucleus threshold search
+        # re-reads the prob tensor ~30x, so k separate calls cost k x ~1 GB
+        # of HBM traffic per verify at 257k vocab (review finding). Rows of
+        # the reshaped batch are independent draws under one key.
+        bsz = logits.shape[0]
+        a = sample_rows(
+            logits.reshape(bsz * k, -1), step_key,
+            jnp.repeat(temps, k), jnp.repeat(topps, k),
+        ).reshape(bsz, k).astype(jnp.int32)  # (B, k)
         eq = (inp[:, 1:] == a[:, :-1]).astype(jnp.int32)
         matched = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
         accept = matched + 1  # (B,)

@@ -178,13 +178,11 @@ def decode_steps_spec(
         inp = jnp.concatenate([token, drafts], axis=1)  # (1, k)
         logits, vcache = paligemma.verify_step(params, cfg, inp, cache)
         if sampling:
+            # One batched call: k separate nucleus searches would re-read
+            # the prob tensor ~30x each (see slot_decode_steps_spec).
             key, sub = jax.random.split(key)
-            a = jnp.concatenate(
-                [
-                    sample_top_p(logits[:, i, :], jax.random.fold_in(sub, i),
-                                 temperature, top_p)
-                    for i in range(k)
-                ]
+            a = sample_top_p(
+                logits[0], sub, temperature, top_p
             ).astype(jnp.int32)
         else:
             a = jnp.argmax(

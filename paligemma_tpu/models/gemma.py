@@ -268,8 +268,16 @@ def _attention(
                 q, k, v, mask.valid, scale=hd**-0.5,
                 gen_start=mask.gen_start, gen_end=mask.gen_end,
             )
-        elif runtime.use_pallas_attention and t > 1:
-            # Prefill over fresh K/V with per-row right-padding.
+        elif (
+            (runtime.use_pallas_attention
+             or (runtime.auto_flash_min_seq
+                 and t >= runtime.auto_flash_min_seq))
+            and t > 1
+        ):
+            # Prefill over fresh K/V with per-row right-padding; long
+            # sequences auto-route like the unmasked branch below (batched
+            # serving prefill at 896-res would otherwise keep the slow
+            # score-materializing XLA path).
             from paligemma_tpu.ops.pallas_attention import flash_attention
 
             attn = flash_attention(

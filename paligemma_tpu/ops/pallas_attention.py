@@ -127,10 +127,21 @@ def flash_attention(
     hkv = k.shape[2]
     g = h // hkv
     scale = d**-0.5 if scale is None else scale
+    def _auto_block(length: int, prefer: int) -> int:
+        # Largest preferred block whose padding waste stays under ~1/8 of
+        # the sequence — big blocks won the 4096 sweep, but at lengths just
+        # above a block multiple the pad rows would eat the gain.
+        for cand in (prefer, prefer // 2, prefer // 4):
+            if cand <= 128:
+                break
+            if -(-length // cand) * cand - length <= length // 8:
+                return cand
+        return 128
+
     if block_q is None:
-        block_q = 512 if t >= 512 else 128
+        block_q = _auto_block(t, 512) if t >= 512 else 128
     if block_k is None:
-        block_k = 1024 if s_len >= 1024 else 128
+        block_k = _auto_block(s_len, 1024) if s_len >= 1024 else 128
 
     t_pad = -(-t // block_q) * block_q
     s_pad = -(-s_len // block_k) * block_k

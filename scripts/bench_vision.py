@@ -112,7 +112,16 @@ def main():
     pf_ms = timed_pipeline(pf)
     log(f"full prefill: {pf_ms:.2f} ms")
 
+    from paligemma_tpu import runtime as rt
+
+    n_patches = cfg.vision_config.num_image_tokens
+    attention = (
+        "flash-flag" if args.pallas
+        else ("flash-auto" if rt.auto_flash_min_seq
+              and n_patches >= rt.auto_flash_min_seq else "xla")
+    )
     result = {"res": args.res, "pallas": bool(args.pallas),
+              "attention": attention,
               "vision_ms": round(vis_ms, 2), "prefill_ms": round(pf_ms, 2)}
     name = "vision_bench" + ("" if args.res == 224 else f"_{args.res}")
     name += ("_pallas" if args.pallas else "") + ".json"

@@ -52,10 +52,28 @@ def test_figures_fallback_to_published(tmp_path):
         assert any(f.startswith(f"fig{i}_") and f.endswith(".png") for f in files)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     expected = 10
-    if os.path.exists(os.path.join(repo, "continuous_bench.json")):
-        expected += 2  # fig6
-    if os.path.exists(os.path.join(repo, "continuous_bench_int8_s16c32_r128.json")):
-        expected += 2  # fig7
-    if os.path.exists(os.path.join(repo, "spec_bench_int8.json")):
-        expected += 2  # fig8
+    fig6_files = ["continuous_bench.json", "continuous_bench_int8.json",
+                  "continuous_bench_int8_s16c32.json"]
+    if any(os.path.exists(os.path.join(repo, f)) for f in fig6_files):
+        expected += 2  # fig6 renders from any measured serving file
+    # fig7/fig8 conditions mirror visualize_results.py exactly: fig7 needs
+    # >= 3 width-scaling points, fig8 needs spec_k*_ms_per_tok keys.
+    fig7_files = [
+        "continuous_bench_int8_s16c32_r128.json",
+        "continuous_bench_int8_s24c32_r128.json",
+        "continuous_bench_int8_s32c32_r128.json",
+        "continuous_bench_int8_s32c32_r256.json",
+        "continuous_bench_int8_s48c32_r256.json",
+    ]
+    if sum(os.path.exists(os.path.join(repo, f)) for f in fig7_files) >= 3:
+        expected += 2
+    spec_path = os.path.join(repo, "spec_bench_int8.json")
+    if os.path.exists(spec_path):
+        import json
+
+        with open(spec_path) as f:
+            d = json.load(f)
+        if any(s.startswith("spec_k") and s.endswith("ms_per_tok")
+               for s in d):
+            expected += 2
     assert len(files) == expected, sorted(files)
