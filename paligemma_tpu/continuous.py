@@ -40,7 +40,7 @@ from paligemma_tpu.models.gemma import KVCache
 from paligemma_tpu.ops.sampling import sample_rows
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "any_sampled"))
 def slot_decode_steps(
     params,
     cfg: PaliGemmaConfig,
@@ -52,12 +52,17 @@ def slot_decode_steps(
     key: jax.Array,
     n_steps: int,
     lora=None,  # optional per-slot adapters {q,k,v: {a (L,B,D,r), b (L,B,r,o)}}
+    any_sampled: bool = True,
 ):
     """``n_steps`` decode steps for all slots as ONE compiled program.
 
     Every slot advances by n_steps; per-slot positions/writes/visibility are
     driven by ``lengths``; per-slot sampling params are traced (B,) arrays so
-    mixed greedy/sampled requests share the one program. With ``lora``, each
+    mixed greedy/sampled requests share the one program.
+    ``any_sampled=False`` (static: no occupied slot samples — the engine
+    tracks it) compiles a pure-argmax variant: the per-row nucleus
+    threshold search costs ~30 full passes over the (B, 257k) fp32 probs
+    per step (~1 GB at batch 33), pure waste on greedy traffic. With ``lora``, each
     slot additionally applies its own decoder adapter (scale pre-folded into
     b; an all-zeros adapter row is an exact no-op, so base and adapted
     requests mix freely). Returns (tokens (B, n_steps), last token (B, 1),
@@ -73,7 +78,10 @@ def slot_decode_steps(
             cache=cache, row_lengths=lens, lora=lora,
         )
         logits = gemma.logits(params["llm"], hidden)[:, -1, :]
-        nxt = sample_rows(logits, step_key, temps, topps)
+        if any_sampled:
+            nxt = sample_rows(logits, step_key, temps, topps)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt[:, None], cache, lens + 1), nxt
 
     keys = jax.random.split(key, n_steps)
@@ -81,7 +89,9 @@ def slot_decode_steps(
     return toks.T, tok, cache, lengths
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "k", "n"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_iters", "k", "n", "any_sampled")
+)
 def slot_decode_steps_spec(
     params,
     cfg: PaliGemmaConfig,
@@ -97,9 +107,13 @@ def slot_decode_steps_spec(
     k: int = 4,
     n: int = 3,
     lora=None,
+    any_sampled: bool = True,
 ):
     """``n_iters`` speculative verify iterations for all slots as ONE
     compiled program (the spec analog of ``slot_decode_steps``).
+    ``any_sampled=False`` compiles a pure-argmax variant — the nucleus
+    machinery over (B*k, 257k) fp32 probs costs ~4 GB of HBM traffic per
+    verify, pure waste on greedy traffic (see ``slot_decode_steps``).
 
     Each iteration proposes k-1 n-gram drafts PER SLOT from its own token
     history, verifies all slots' [current, drafts] in one k-token forward
@@ -142,15 +156,18 @@ def slot_decode_steps_spec(
         # to plain sampling (P(d_i) = p_i(d_i), P(x != d_i) = p_i(x)), and
         # position i+1's logits are valid exactly when d_i was the emitted
         # token. Draws are independent per position via fold_in.
-        # ONE batched sample_rows over (B*k, V): the nucleus threshold search
-        # re-reads the prob tensor ~30x, so k separate calls cost k x ~1 GB
-        # of HBM traffic per verify at 257k vocab (review finding). Rows of
-        # the reshaped batch are independent draws under one key.
-        bsz = logits.shape[0]
-        a = sample_rows(
-            logits.reshape(bsz * k, -1), step_key,
-            jnp.repeat(temps, k), jnp.repeat(topps, k),
-        ).reshape(bsz, k).astype(jnp.int32)  # (B, k)
+        if any_sampled:
+            # ONE batched sample_rows over (B*k, V); rows of the reshaped
+            # batch are independent draws under one key.
+            bsz = logits.shape[0]
+            a = sample_rows(
+                logits.reshape(bsz * k, -1), step_key,
+                jnp.repeat(temps, k), jnp.repeat(topps, k),
+            ).reshape(bsz, k).astype(jnp.int32)  # (B, k)
+        else:
+            a = jnp.argmax(
+                logits.astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)  # (B, k)
         eq = (inp[:, 1:] == a[:, :-1]).astype(jnp.int32)
         matched = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
         accept = matched + 1  # (B,)
@@ -687,18 +704,28 @@ class ContinuousBatcher:
         active: List[Optional[Request]] = list(self.slot_req)
 
         self.key, sub = jax.random.split(self.key)
+        # Static greedy/sampled program split: all-greedy traffic (the
+        # common serving case) skips the nucleus machinery entirely — ~1 GB
+        # (plain) / ~4 GB (spec) of HBM traffic per dispatch at 257k vocab.
+        # At most two compiled variants per shape; both are warmed by the
+        # server before traffic.
+        any_sampled = any(
+            r is not None and r.temperature > 0 for r in self.slot_req
+        )
         if self.spec_k:
             (toks, counts, self.cur_tok, self.cache, self.lengths,
              self.ids_buf, self.buf_lens) = slot_decode_steps_spec(
                 self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
                 self.temps, self.topps, sub, self.chunk, self.ids_buf,
                 self.buf_lens, self.spec_k, self.spec_ngram, self.slot_lora,
+                any_sampled=any_sampled,
             )
             packed = jnp.concatenate([counts[:, None], toks], axis=1)
         else:
             toks, self.cur_tok, self.cache, self.lengths = slot_decode_steps(
                 self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
                 self.temps, self.topps, sub, self.chunk, self.slot_lora,
+                any_sampled=any_sampled,
             )
             packed = toks
         if had_active:
