@@ -37,10 +37,10 @@ from paligemma_tpu import generation, serving
 from paligemma_tpu.config import PaliGemmaConfig
 from paligemma_tpu.models import gemma
 from paligemma_tpu.models.gemma import KVCache
-from paligemma_tpu.ops.sampling import sample_rows
+from paligemma_tpu.ops.sampling import greedy, sample_rows
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "any_sampled"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def slot_decode_steps(
     params,
     cfg: PaliGemmaConfig,
@@ -52,22 +52,30 @@ def slot_decode_steps(
     key: jax.Array,
     n_steps: int,
     lora=None,  # optional per-slot adapters {q,k,v: {a (L,B,D,r), b (L,B,r,o)}}
-    any_sampled: bool = True,
+    occupied: Optional[jnp.ndarray] = None,  # (B,) bool — host occupancy truth
 ):
     """``n_steps`` decode steps for all slots as ONE compiled program.
 
     Every slot advances by n_steps; per-slot positions/writes/visibility are
     driven by ``lengths``; per-slot sampling params are traced (B,) arrays so
-    mixed greedy/sampled requests share the one program.
-    ``any_sampled=False`` (static: no occupied slot samples — the engine
-    tracks it) compiles a pure-argmax variant: the per-row nucleus
-    threshold search costs ~30 full passes over the (B, 257k) fp32 probs
-    per step (~1 GB at batch 33), pure waste on greedy traffic. With ``lora``, each
+    mixed greedy/sampled requests share the one program. An all-greedy batch
+    skips the sampling machinery at RUNTIME via ``lax.cond`` — the per-row
+    nucleus threshold search costs ~30 full passes over the (B, 257k) fp32
+    probs per step (~1 GB at batch 33), pure waste on greedy traffic — with
+    no second compiled program and no cross-variant numerics question (the
+    greedy branch and sample_rows' internal greedy route are the same
+    ``ops.sampling.greedy`` on the same in-program logits). With ``lora``, each
     slot additionally applies its own decoder adapter (scale pre-folded into
     b; an all-zeros adapter row is an exact no-op, so base and adapted
     requests mix freely). Returns (tokens (B, n_steps), last token (B, 1),
     cache, lengths + n_steps).
     """
+
+    # Constant across the chunk; ``occupied`` masks STALE temps on freed
+    # slots (a finished sampled request must not keep the nucleus branch
+    # live for later all-greedy traffic).
+    live = temps > 0.0 if occupied is None else (temps > 0.0) & occupied
+    any_sampled = jnp.any(live)
 
     def body(carry, step_key):
         tok, cache, lens = carry
@@ -78,10 +86,12 @@ def slot_decode_steps(
             cache=cache, row_lengths=lens, lora=lora,
         )
         logits = gemma.logits(params["llm"], hidden)[:, -1, :]
-        if any_sampled:
-            nxt = sample_rows(logits, step_key, temps, topps)
-        else:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jax.lax.cond(
+            any_sampled,
+            lambda lg: sample_rows(lg, step_key, temps, topps),
+            greedy,
+            logits,
+        )
         return (nxt[:, None], cache, lens + 1), nxt
 
     keys = jax.random.split(key, n_steps)
@@ -89,9 +99,7 @@ def slot_decode_steps(
     return toks.T, tok, cache, lengths
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "n_iters", "k", "n", "any_sampled")
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "k", "n"))
 def slot_decode_steps_spec(
     params,
     cfg: PaliGemmaConfig,
@@ -107,13 +115,13 @@ def slot_decode_steps_spec(
     k: int = 4,
     n: int = 3,
     lora=None,
-    any_sampled: bool = True,
+    occupied: Optional[jnp.ndarray] = None,  # (B,) bool — host occupancy truth
 ):
     """``n_iters`` speculative verify iterations for all slots as ONE
     compiled program (the spec analog of ``slot_decode_steps``).
-    ``any_sampled=False`` compiles a pure-argmax variant — the nucleus
-    machinery over (B*k, 257k) fp32 probs costs ~4 GB of HBM traffic per
-    verify, pure waste on greedy traffic (see ``slot_decode_steps``).
+    All-greedy batches skip the sampling machinery at runtime via
+    ``lax.cond`` — the nucleus search over (B*k, 257k) fp32 probs costs
+    ~4 GB of HBM traffic per verify (see ``slot_decode_steps``).
 
     Each iteration proposes k-1 n-gram drafts PER SLOT from its own token
     history, verifies all slots' [current, drafts] in one k-token forward
@@ -131,6 +139,8 @@ def slot_decode_steps_spec(
     """
     b = token.shape[0]
     out0 = jnp.zeros((b, n_iters * k), jnp.int32)
+    live = temps > 0.0 if occupied is None else (temps > 0.0) & occupied
+    any_sampled = jnp.any(live)  # constant across the whole chunk
 
     def body(carry, step_key):
         tok, cache, lens, ibuf, blens, out, counts = carry
@@ -156,18 +166,18 @@ def slot_decode_steps_spec(
         # to plain sampling (P(d_i) = p_i(d_i), P(x != d_i) = p_i(x)), and
         # position i+1's logits are valid exactly when d_i was the emitted
         # token. Draws are independent per position via fold_in.
-        if any_sampled:
+        bsz = logits.shape[0]
+        a = jax.lax.cond(
+            any_sampled,
             # ONE batched sample_rows over (B*k, V); rows of the reshaped
             # batch are independent draws under one key.
-            bsz = logits.shape[0]
-            a = sample_rows(
-                logits.reshape(bsz * k, -1), step_key,
+            lambda lg: sample_rows(
+                lg.reshape(bsz * k, -1), step_key,
                 jnp.repeat(temps, k), jnp.repeat(topps, k),
-            ).reshape(bsz, k).astype(jnp.int32)  # (B, k)
-        else:
-            a = jnp.argmax(
-                logits.astype(jnp.float32), axis=-1
-            ).astype(jnp.int32)  # (B, k)
+            ).reshape(bsz, k),
+            lambda lg: greedy(lg.reshape(bsz * k, -1)).reshape(bsz, k),
+            logits,
+        ).astype(jnp.int32)  # (B, k)
         eq = (inp[:, 1:] == a[:, :-1]).astype(jnp.int32)
         matched = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
         accept = matched + 1  # (B,)
@@ -704,28 +714,25 @@ class ContinuousBatcher:
         active: List[Optional[Request]] = list(self.slot_req)
 
         self.key, sub = jax.random.split(self.key)
-        # Static greedy/sampled program split: all-greedy traffic (the
-        # common serving case) skips the nucleus machinery entirely — ~1 GB
-        # (plain) / ~4 GB (spec) of HBM traffic per dispatch at 257k vocab.
-        # At most two compiled variants per shape; both are warmed by the
-        # server before traffic.
-        any_sampled = any(
-            r is not None and r.temperature > 0 for r in self.slot_req
-        )
+        # Host occupancy truth ships with the dispatch so a finished sampled
+        # request's stale temp cannot keep the (runtime-branched) nucleus
+        # machinery live for all-greedy traffic.
+        occupied = jnp.asarray(
+            np.array([r is not None for r in self.slot_req] + [False]))
         if self.spec_k:
             (toks, counts, self.cur_tok, self.cache, self.lengths,
              self.ids_buf, self.buf_lens) = slot_decode_steps_spec(
                 self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
                 self.temps, self.topps, sub, self.chunk, self.ids_buf,
                 self.buf_lens, self.spec_k, self.spec_ngram, self.slot_lora,
-                any_sampled=any_sampled,
+                occupied=occupied,
             )
             packed = jnp.concatenate([counts[:, None], toks], axis=1)
         else:
             toks, self.cur_tok, self.cache, self.lengths = slot_decode_steps(
                 self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
                 self.temps, self.topps, sub, self.chunk, self.slot_lora,
-                any_sampled=any_sampled,
+                occupied=occupied,
             )
             packed = toks
         if had_active:

@@ -943,10 +943,6 @@ def main(argv=None):
                     "do_sample": False,
                 }
                 batcher.submit(dict(req))  # batch-1 join shape
-                # Warm the SAMPLED decode variant too (the engine compiles
-                # separate greedy/sampled programs; a first sampled request
-                # mid-traffic would otherwise stall on a remote compile).
-                batcher.submit(dict(req, do_sample=True, temperature=0.8))
                 # Group-join shape (batch n_slots): concurrent submits into
                 # an idle engine join as one group (best-effort — the loop
                 # drains the queue in one gulp when they enqueue together;
