@@ -811,7 +811,7 @@ def main(argv=None):
     p.add_argument("--n_slots", type=int, default=32,
                    help="continuous mode: decode batch width. Default is the "
                         "measured single-chip throughput peak (int8, 32 "
-                        "slots, chunk 32: 1396.1 useful tok/s on the "
+                        "slots, chunk 32: 1410.8 useful tok/s on the "
                         "256-request backlogged mixed-length workload; 48 "
                         "slots is flat — REPORT.md round 3). Lower it on "
                         "small boxes.")
