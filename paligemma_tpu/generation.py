@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from paligemma_tpu.config import PaliGemmaConfig
 from paligemma_tpu.models import gemma, paligemma
 from paligemma_tpu.models.gemma import KVCache
-from paligemma_tpu.ops.sampling import greedy, sample_top_p
+from paligemma_tpu.ops.sampling import greedy, sample_top_p, select_token_traced
 
 
 class GenerationResult(NamedTuple):
@@ -45,24 +45,22 @@ def _prefill_jit(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "do_sample", "temperature", "top_p")
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "do_sample"))
 def _decode_and_select(
     params, cfg: PaliGemmaConfig, token, cache, key, do_sample, temperature, top_p
 ):
+    # temperature/top_p are TRACED: every sampled pair shares one compiled
+    # program (a static pair would recompile the whole step — see
+    # ops.sampling.select_token_traced).
     logits, cache = paligemma.decode_step(params, cfg, token, cache)
     last = logits[:, -1, :]
-    if do_sample and temperature > 0.0:
-        nxt = sample_top_p(last, key, temperature, top_p)
-    else:
-        nxt = greedy(last)
+    nxt = select_token_traced(last, key, do_sample, temperature, top_p)
     return nxt, cache
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "do_sample", "temperature", "top_p"),
+    static_argnames=("cfg", "n_steps", "do_sample"),
 )
 def decode_steps(
     params,
@@ -79,17 +77,15 @@ def decode_steps(
 
     Returns (tokens (B, n_steps), last token (B, 1), cache). Host round-trips
     amortize over the chunk — the unit of work for serving and benchmarking
-    on remote-dispatch backends.
+    on remote-dispatch backends. temperature/top_p are traced (one compile
+    per shape, not per sampling-param value).
     """
 
     def body(carry, step_key):
         tok, cache = carry
         logits, cache = paligemma.decode_step(params, cfg, tok, cache)
         last = logits[:, -1, :]
-        if do_sample and temperature > 0.0:
-            nxt = sample_top_p(last, step_key, temperature, top_p)
-        else:
-            nxt = greedy(last)
+        nxt = select_token_traced(last, step_key, do_sample, temperature, top_p)
         return (nxt[:, None], cache), nxt
 
     keys = jax.random.split(key, n_steps)
@@ -106,6 +102,11 @@ def _ngram_propose_row(ids_row, buf_len, token, k: int, n: int):
     decoding — apt for document VQA, where answers quote the prompt). When
     no occurrence exists, proposes the last token repeated; wrong drafts
     cost nothing but their (weight-stream-amortized) verify slot.
+
+    Continuation positions at or past ``buf_len`` are never proposed (they
+    would be unwritten zeros or a previous slot occupant's stale tokens —
+    near-guaranteed rejects, ADVICE r3); those positions fall back to the
+    repeated-token draft.
     """
     L = ids_row.shape[0]
     gram = jax.lax.dynamic_slice(ids_row, (buf_len - (n - 1),), (n - 1,))
@@ -114,10 +115,12 @@ def _ngram_propose_row(ids_row, buf_len, token, k: int, n: int):
     starts = jnp.arange(L)
     valid = jnp.all(wins == gram[None, :], axis=-1) & (starts + n - 1 < buf_len)
     pos = jnp.max(jnp.where(valid, starts, -1))
-    cont = jax.lax.dynamic_slice(
-        ids_row, (jnp.maximum(pos, 0) + (n - 1),), (k - 1,)
-    )
-    return jnp.where(pos >= 0, cont, jnp.broadcast_to(token, (k - 1,)))
+    # Gather (not dynamic_slice): a slice whose window crosses the buffer end
+    # gets its START clamped, silently shifting every proposed token.
+    cont_pos = jnp.maximum(pos, 0) + (n - 1) + jnp.arange(k - 1)
+    cont = ids_row[jnp.minimum(cont_pos, L - 1)]
+    ok = (pos >= 0) & (cont_pos < buf_len)
+    return jnp.where(ok, cont, jnp.broadcast_to(token, (k - 1,)))
 
 
 def _ngram_propose(ids_buf, buf_len, token, k: int, n: int):
@@ -127,8 +130,7 @@ def _ngram_propose(ids_buf, buf_len, token, k: int, n: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "k", "n", "do_sample", "temperature",
-                     "top_p"),
+    static_argnames=("cfg", "n_steps", "k", "n", "do_sample"),
 )
 def decode_steps_spec(
     params,
@@ -165,7 +167,11 @@ def decode_steps_spec(
     masked and overwritten; see ``paligemma.verify_step``).
     """
     out_buf = jnp.zeros((1, n_steps + k), jnp.int32)
-    sampling = do_sample and temperature > 0.0
+    # Only do_sample is static: temperature/top_p are traced so every
+    # sampled pair shares one compiled program (ADVICE r3 — static pairs
+    # recompiled the whole speculative program per value). temperature <= 0
+    # under do_sample falls back to greedy at runtime inside
+    # select_token_traced.
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -177,12 +183,12 @@ def decode_steps_spec(
         drafts = _ngram_propose(ids_buf, buf_len, token, k, n)
         inp = jnp.concatenate([token, drafts], axis=1)  # (1, k)
         logits, vcache = paligemma.verify_step(params, cfg, inp, cache)
-        if sampling:
+        if do_sample:
             # One batched call: k separate nucleus searches would re-read
             # the prob tensor ~30x each (see slot_decode_steps_spec).
             key, sub = jax.random.split(key)
-            a = sample_top_p(
-                logits[0], sub, temperature, top_p
+            a = select_token_traced(
+                logits[0], sub, True, temperature, top_p
             ).astype(jnp.int32)
         else:
             a = jnp.argmax(
@@ -190,7 +196,9 @@ def decode_steps_spec(
             ).astype(jnp.int32)
         matched = jnp.sum(jnp.cumprod((drafts[0] == a[:-1]).astype(jnp.int32)))
         accept = matched + 1  # emitted tokens this iteration
-        cache = KVCache(k=vcache.k, v=vcache.v, length=cache.length + accept)
+        # _replace keeps the verify's written K/V but only advances length by
+        # the accepted count (works for KVCache and QuantKVCache alike).
+        cache = vcache._replace(length=cache.length + accept)
         # Write all k candidate tokens; columns past ``accept`` are overwritten
         # by the next iteration (and never read beyond ``produced``).
         out_buf = jax.lax.dynamic_update_slice(out_buf, a[None, :], (0, produced))

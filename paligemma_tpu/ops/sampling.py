@@ -140,3 +140,28 @@ def select_token(
     if do_sample and temperature > 0.0:
         return sample_top_p(logits, key, temperature, top_p)
     return greedy(logits)
+
+
+def select_token_traced(
+    logits: jnp.ndarray,
+    key: jax.Array,
+    do_sample: bool,
+    temperature,
+    top_p,
+) -> jnp.ndarray:
+    """``select_token`` with TRACED temperature/top_p (only ``do_sample``
+    stays a trace-time branch).
+
+    Every sampled (temperature, top_p) pair shares ONE compiled program —
+    static sampling params would recompile the whole enclosing decode
+    program per distinct value (~minutes per shape on the remote-compile
+    backend, CLAUDE.md). ``temperature <= 0`` under ``do_sample`` decodes
+    greedily at runtime, preserving the reference's convention
+    (ablation_study_fixed.py:228-232) without a second trace.
+    """
+    if not do_sample:
+        return greedy(logits)
+    temperature = jnp.asarray(temperature, jnp.float32)
+    safe_t = jnp.maximum(temperature, jnp.float32(1e-6))
+    draw = sample_top_p(logits, key, safe_t, top_p)
+    return jnp.where(temperature > 0.0, draw, greedy(logits))
