@@ -53,6 +53,8 @@ def slot_decode_steps(
     n_steps: int,
     lora=None,  # optional per-slot adapters {q,k,v: {a (L,B,D,r), b (L,B,r,o)}}
     occupied: Optional[jnp.ndarray] = None,  # (B,) bool — host occupancy truth
+    ids_buf: Optional[jnp.ndarray] = None,  # (B, L) token history (adaptive spec)
+    buf_lens: Optional[jnp.ndarray] = None,  # (B,)
 ):
     """``n_steps`` decode steps for all slots as ONE compiled program.
 
@@ -67,8 +69,15 @@ def slot_decode_steps(
     ``ops.sampling.greedy`` on the same in-program logits). With ``lora``, each
     slot additionally applies its own decoder adapter (scale pre-folded into
     b; an all-zeros adapter row is an exact no-op, so base and adapted
-    requests mix freely). Returns (tokens (B, n_steps), last token (B, 1),
-    cache, lengths + n_steps).
+    requests mix freely).
+
+    ``ids_buf``/``buf_lens`` (optional, together): per-slot token history —
+    each emitted token is appended so an occupancy-adaptive engine can switch
+    to the speculative program with n-gram state current. One extra (B,)
+    scatter per step; returns them updated as two extra results.
+
+    Returns (tokens (B, n_steps), last token (B, 1), cache, lengths +
+    n_steps[, ids_buf, buf_lens]).
     """
 
     # Constant across the chunk; ``occupied`` masks STALE temps on freed
@@ -76,9 +85,11 @@ def slot_decode_steps(
     # live for later all-greedy traffic).
     live = temps > 0.0 if occupied is None else (temps > 0.0) & occupied
     any_sampled = jnp.any(live)
+    track_ids = ids_buf is not None
+    rows = jnp.arange(token.shape[0])
 
     def body(carry, step_key):
-        tok, cache, lens = carry
+        tok, cache, lens, ibuf, blens = carry
         positions = lens[:, None].astype(jnp.int32)
         embeds = gemma.embed_tokens(params["llm"], tok)
         hidden, cache = gemma.forward(
@@ -92,10 +103,17 @@ def slot_decode_steps(
             greedy,
             logits,
         )
-        return (nxt[:, None], cache, lens + 1), nxt
+        if track_ids:
+            ibuf = ibuf.at[rows, blens].set(nxt)
+            blens = blens + 1
+        return (nxt[:, None], cache, lens + 1, ibuf, blens), nxt
 
     keys = jax.random.split(key, n_steps)
-    (tok, cache, lengths), toks = jax.lax.scan(body, (token, cache, lengths), keys)
+    (tok, cache, lengths, ids_buf, buf_lens), toks = jax.lax.scan(
+        body, (token, cache, lengths, ids_buf, buf_lens), keys
+    )
+    if track_ids:
+        return toks.T, tok, cache, lengths, ids_buf, buf_lens
     return toks.T, tok, cache, lengths
 
 
@@ -181,7 +199,7 @@ def slot_decode_steps_spec(
         eq = (inp[:, 1:] == a[:, :-1]).astype(jnp.int32)
         matched = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
         accept = matched + 1  # (B,)
-        cache = KVCache(k=vcache.k, v=vcache.v, length=cache.length)
+        cache = vcache._replace(length=cache.length)
         out = jax.vmap(
             lambda row, vals, off: jax.lax.dynamic_update_slice(row, vals, (off,))
         )(out, a, counts)
@@ -199,6 +217,36 @@ def slot_decode_steps_spec(
         body, carry0, keys
     )
     return out, counts, tok, cache, lengths, ids_buf, buf_lens
+
+
+@functools.partial(jax.jit, static_argnames=("target",))
+def _resize_kv(cache, target: int):
+    """Pad or slice the cache's position axis (axis 2) to ``target``.
+
+    The occupancy-bounded window: the engine's cache lives at the smallest
+    bucket covering every occupied slot's length plus one chunk's worth of
+    writes, so decode chunks stop streaming unwritten tail slots
+    (VERDICT r3 weak #3 — ~600 MB/step of mostly-unwritten bf16 K/V at the
+    32-slot peak). Resizes happen only on bucket transitions (a handful per
+    run), never per chunk. Shrinking drops only rows past every occupied
+    length (unwritten or freed-slot garbage).
+    """
+    cur = cache.k.shape[2]
+    if target == cur:
+        return cache
+    if target > cur:
+        def fix(x):
+            pad = [(0, 0)] * x.ndim
+            pad[2] = (0, target - cur)
+            return jnp.pad(x, pad)
+    else:
+        def fix(x):
+            return x[:, :, :target]
+    new = cache._replace(k=fix(cache.k), v=fix(cache.v))
+    if hasattr(cache, "k_scale"):
+        new = new._replace(
+            k_scale=fix(cache.k_scale), v_scale=fix(cache.v_scale))
+    return new
 
 
 @jax.jit
@@ -245,6 +293,13 @@ def _insert_group(
     t_b = temp.k.shape[2]
     k = cache.k.at[:, slots, :t_b].set(temp.k.astype(cache.k.dtype))
     v = cache.v.at[:, slots, :t_b].set(temp.v.astype(cache.v.dtype))
+    new_cache = cache._replace(k=k, v=v)
+    if hasattr(cache, "k_scale"):
+        # int8 KV engine: the prefill's per-row scales ride along.
+        new_cache = new_cache._replace(
+            k_scale=cache.k_scale.at[:, slots, :t_b].set(temp.k_scale),
+            v_scale=cache.v_scale.at[:, slots, :t_b].set(temp.v_scale),
+        )
     lengths = lengths.at[slots].set(valid.astype(jnp.int32))
     cur_tok = cur_tok.at[slots, 0].set(first.astype(jnp.int32))
     temps = temps.at[slots].set(req_temps.astype(jnp.float32))
@@ -262,7 +317,7 @@ def _insert_group(
         ids_buf = ids_buf.at[slots, valid].set(first.astype(jnp.int32))
         buf_lens = buf_lens.at[slots].set(valid.astype(jnp.int32) + 1)
     return (
-        KVCache(k=k, v=v, length=cache.length),
+        new_cache,
         lengths, cur_tok, temps, topps, first, slot_lora, ids_buf, buf_lens,
     )
 
@@ -319,6 +374,34 @@ class ContinuousBatcher:
         at the workload's acceptance rate. Greedy slots stay exactly greedy;
         sampled slots sample the exact plain-sampling distribution
         (delta-draft speculative sampling). 0 = plain one-token steps.
+      spec_adaptive: with spec_k, choose per CHUNK between the speculative
+        and the plain program from host-known state instead of statically.
+        Speculation wins at narrow widths (+21% at 16 slots) but loses at
+        the 32-slot bandwidth-free peak (REPORT.md r3 serving table) — the
+        k-position verify stops being free once batch*k positions leave the
+        weight-streaming-bound regime. Policy: run spec when
+        occupied-slot count <= spec_max_slots AND the acceptance EMA (when
+        known) clears spec_min_accept; after low-acceptance demotion, probe
+        spec again every spec_probe_every chunks to refresh the EMA. Both
+        programs are compiled on first use; greedy streams are exact across
+        mode switches (both modes emit exact greedy tokens).
+      spec_max_slots: occupancy threshold for spec_adaptive (default 24 —
+        the measured crossover, REPORT.md r3).
+      spec_min_accept: tokens/verify EMA below which spec chunks demote to
+        plain (default 1.25; verify costs ~(1+k/chunk-ish) of a plain step
+        at narrow widths, so <=1.25 accepted tokens/iteration is a loss).
+      spec_probe_every: plain chunks between speculative re-probes after a
+        low-acceptance demotion (default 8).
+      kv_quant: store K/V int8 with per-(row, position, head) scales
+        (gemma.QuantKVCache) — halves the per-step cache streaming (~600
+        MB/step of bf16 K/V at the 32-slot peak); dequantization fuses into
+        the attention read. Greedy fidelity pinned empirically (token
+        identity on the test model; bench protocol on the flagship).
+      kv_window: occupancy-bounded cache window — the live cache is kept at
+        the smallest of 3 static position-budget buckets covering
+        max(occupied lengths) + one chunk's writes, so decode chunks stop
+        streaming unwritten tail slots; pads/slices only on bucket
+        transitions. EXACT: masked attention never read the dropped tail.
       lora_rank: enable multi-tenant LoRA serving — every slot can carry a
         different registered adapter (``register_adapter`` + ``submit(...,
         adapter=name)``). Adapters of rank <= lora_rank share one compiled
@@ -337,6 +420,8 @@ class ContinuousBatcher:
         max_new_tokens: int = 64,
         chunk: int = 8,
         cache_dtype=jnp.bfloat16,
+        kv_quant: bool = False,
+        kv_window: bool = False,
         do_sample: bool = False,
         temperature: float = 0.0,
         top_p: float = 0.9,
@@ -346,6 +431,11 @@ class ContinuousBatcher:
         prefill_cache_size: int = 0,
         spec_k: int = 0,
         spec_ngram: int = 3,
+        spec_chunk: Optional[int] = None,
+        spec_adaptive: bool = False,
+        spec_max_slots: int = 24,
+        spec_min_accept: float = 1.25,
+        spec_probe_every: int = 8,
     ):
         self.params, self.cfg, self.processor = params, cfg, processor
         self.n_slots = n_slots
@@ -382,12 +472,36 @@ class ContinuousBatcher:
         if self.spec_k and self.spec_k < 2:
             raise ValueError(
                 f"spec_k must be 0 (off) or >= 2 (1+ drafts), got {spec_k}")
-        # Speculative engines: a chunk runs `chunk` verify iterations, each
+        # Verify iterations per SPECULATIVE chunk (plain chunks always run
+        # ``chunk`` one-token steps). Decoupled so an adaptive engine can
+        # run plain chunks at the peak cadence (32 steps) and spec chunks at
+        # speculation's measured winning cadence (8 iterations — REPORT.md
+        # r3 spec-serving table); default = ``chunk`` (the r3 behavior).
+        self.spec_chunk = int(spec_chunk) if spec_chunk else chunk
+        if self.spec_k and self.spec_chunk < 1:
+            raise ValueError(f"spec_chunk must be >= 1, got {spec_chunk}")
+        self.spec_adaptive = bool(spec_adaptive) and self.spec_k > 0
+        self.spec_max_slots = int(spec_max_slots)
+        self.spec_min_accept = float(spec_min_accept)
+        self.spec_probe_every = int(spec_probe_every)
+        # Acceptance EMA (tokens/verify over occupied slots) + demotion state.
+        self.spec_accept_ema: Optional[float] = None
+        self._chunks_since_spec = 0
+        # Per-chunk mode log (True = speculative chunk) for tests/metrics;
+        # bounded so a long-running server doesn't grow it without limit.
+        self.spec_mode_log: List[bool] = []
+        # Serving observability (read by the server's /metrics endpoint).
+        self.tokens_delivered = 0  # tokens appended to requests, all modes
+        self.chunks_run = 0
+        # Speculative chunks run `spec_chunk` verify iterations, each
         # advancing a row by up to spec_k tokens and writing spec_k entries
-        # past its accepted length — size the cache for the worst case
-        # (dynamic_update_slice clamps out-of-range writes, which would
-        # silently corrupt earlier rows' slots).
-        slack = chunk * self.spec_k + self.spec_k if self.spec_k else chunk
+        # past its accepted length — size the cache for the worst case of
+        # either chunk flavor (dynamic_update_slice clamps out-of-range
+        # writes, which would silently corrupt earlier rows' slots).
+        slack = (
+            max(chunk, self.spec_chunk * self.spec_k) + self.spec_k
+            if self.spec_k else chunk
+        )
         s_len = self.prompt_budget + max_new_tokens + slack
         # One extra "trash" row absorbs a join group's padding scatters (a
         # group is padded to a bucketed batch so prefill/insert reuse ONE
@@ -395,7 +509,29 @@ class ContinuousBatcher:
         # decode is weight-streaming-bound, so it is effectively free.
         b = n_slots + 1
         self.trash_row = n_slots
-        self.cache = gemma.init_cache(cfg.text_config, b, s_len, cache_dtype)
+        self.s_len = s_len
+        # Occupancy-bounded cache window (kv_window): the live cache is kept
+        # at the smallest bucket covering max(occupied lengths) + one chunk
+        # of writes, so chunks never stream unwritten tail slots. Buckets
+        # are a static 3-element ladder (each a compiled chunk-program
+        # shape); _resize_kv pads/slices on transitions only.
+        self.max_advance = slack
+        self.window_buckets: Optional[tuple] = None
+        if kv_window:
+            b0 = -(-(self.prompt_budget + slack + 1) // 128) * 128
+            mid = -(-(b0 + s_len) // 2 // 128) * 128
+            self.window_buckets = tuple(sorted({min(b0, s_len), min(mid, s_len), s_len}))
+        self.host_lengths = np.zeros((n_slots,), np.int64)
+        self.window_resizes = 0
+        # kv_quant: store K/V int8 with per-(row,position,head) scales —
+        # halves the per-step cache streaming (~600 MB/step of bf16 K/V at
+        # the 32-slot peak, VERDICT r3 weak #3). cache_dtype stays the
+        # activation/pixel dtype.
+        self.kv_quant = bool(kv_quant)
+        self.kv_dtype = jnp.int8 if kv_quant else cache_dtype
+        self.window = self.window_buckets[0] if self.window_buckets else s_len
+        self.cache = gemma.init_cache(
+            cfg.text_config, b, self.window, self.kv_dtype)
         # Per-slot token history for n-gram drafts (speculative only).
         self.ids_buf = (
             jnp.zeros((b, s_len), jnp.int32) if self.spec_k else None
@@ -607,7 +743,7 @@ class ContinuousBatcher:
             if t < bucket:
                 ids = np.pad(ids, ((0, 0), (0, bucket - t)))
             temp = gemma.init_cache(
-                self.cfg.text_config, g_b, bucket, self.cache_dtype
+                self.cfg.text_config, g_b, bucket, self.kv_dtype
             )
             logits, temp = serving.batched_prefill(
                 self.params, self.cfg, jnp.asarray(ids),
@@ -646,9 +782,34 @@ class ContinuousBatcher:
             self.slot_lora = slot_lora
         if ids_buf is not None:
             self.ids_buf, self.buf_lens = ids_buf, buf_lens
+        for i, (slot, _) in enumerate(joiners):
+            self.host_lengths[slot] = int(valid[i])
         self._pending_first.append((joiners, first))
 
     # -- scheduling ----------------------------------------------------------
+
+    def _decide_spec_mode(self, n_occupied: int) -> bool:
+        """Per-chunk program choice for spec_adaptive (host state only:
+        occupancy + acceptance EMA — no device fetch)."""
+        if not self.spec_k:
+            return False
+        if not self.spec_adaptive:
+            return True
+        if n_occupied > self.spec_max_slots:
+            # Wide batch: the k-position verify leaves the
+            # weight-streaming-bound regime (REPORT.md r3) — plain wins
+            # regardless of acceptance.
+            self._chunks_since_spec += 1
+            return False
+        if (
+            self.spec_accept_ema is not None
+            and self.spec_accept_ema < self.spec_min_accept
+        ):
+            # Acceptance too low for the verify overhead: plain, but probe
+            # periodically — the workload (and its n-gram structure) drifts.
+            self._chunks_since_spec += 1
+            return self._chunks_since_spec >= self.spec_probe_every
+        return True
 
     def _fill_slots(self) -> None:
         joiners = []
@@ -717,17 +878,56 @@ class ContinuousBatcher:
         # Host occupancy truth ships with the dispatch so a finished sampled
         # request's stale temp cannot keep the (runtime-branched) nucleus
         # machinery live for all-greedy traffic.
+        n_occupied = sum(1 for r in self.slot_req if r is not None)
         occupied = jnp.asarray(
             np.array([r is not None for r in self.slot_req] + [False]))
+        use_spec = self._decide_spec_mode(n_occupied)
         if self.spec_k:
+            self.spec_mode_log.append(use_spec)
+            if len(self.spec_mode_log) > 8192:
+                del self.spec_mode_log[:4096]
+        self.chunks_run += 1
+
+        if self.window_buckets:
+            # Occupancy-bounded window: smallest bucket covering every
+            # occupied slot's (host-tracked) length plus this chunk's worst-
+            # case writes. Host state only — no device fetch. Freed slots'
+            # stale lengths are excluded; their chunk writes land out of
+            # bounds and are dropped by scatter semantics.
+            occ = [int(self.host_lengths[i]) for i in range(self.n_slots)
+                   if self.slot_req[i] is not None]
+            advance = (
+                self.spec_chunk * self.spec_k + self.spec_k if use_spec
+                else self.chunk
+            )
+            need = (max(occ) if occ else 0) + advance + 1
+            target = next(b for b in self.window_buckets if b >= need)
+            if target != self.window:
+                self.cache = _resize_kv(self.cache, target)
+                self.window = target
+                self.window_resizes += 1
+        if use_spec:
+            self._chunks_since_spec = 0
             (toks, counts, self.cur_tok, self.cache, self.lengths,
              self.ids_buf, self.buf_lens) = slot_decode_steps_spec(
                 self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
-                self.temps, self.topps, sub, self.chunk, self.ids_buf,
+                self.temps, self.topps, sub, self.spec_chunk, self.ids_buf,
                 self.buf_lens, self.spec_k, self.spec_ngram, self.slot_lora,
                 occupied=occupied,
             )
             packed = jnp.concatenate([counts[:, None], toks], axis=1)
+        elif self.spec_k:
+            # Adaptive plain chunk: same one-token program, but the token
+            # history keeps accumulating so a later spec chunk's n-gram
+            # drafts see every emitted token.
+            (toks, self.cur_tok, self.cache, self.lengths,
+             self.ids_buf, self.buf_lens) = slot_decode_steps(
+                self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
+                self.temps, self.topps, sub, self.chunk, self.slot_lora,
+                occupied=occupied,
+                ids_buf=self.ids_buf, buf_lens=self.buf_lens,
+            )
+            packed = toks
         else:
             toks, self.cur_tok, self.cache, self.lengths = slot_decode_steps(
                 self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
@@ -738,18 +938,31 @@ class ContinuousBatcher:
         if had_active:
             self._fill_slots()  # overlapped: runs while the chunk decodes
         packed_np = np.asarray(packed)  # one host fetch per chunk
-        if self.spec_k:
+        if use_spec:
             counts_np, toks_np = packed_np[:, 0], packed_np[:, 1:]
             # Useful-acceptance accounting: verifies include every iteration
             # an occupied slot ran (post-EOS/budget iterations are real
             # waste), while emitted counts only tokens actually DELIVERED to
             # requests (incremented in the distribution loop below) — so
             # tokens/verify is the net speedup factor, not a flattered one.
-            self.spec_verifies += self.chunk * sum(
+            self.spec_verifies += self.spec_chunk * sum(
                 1 for i in range(self.n_slots) if active[i] is not None)
+            occ = [i for i in range(self.n_slots) if active[i] is not None]
+            if occ:
+                rate = float(
+                    np.sum(counts_np[occ])) / (self.spec_chunk * len(occ))
+                self.spec_accept_ema = (
+                    rate if self.spec_accept_ema is None
+                    else 0.7 * self.spec_accept_ema + 0.3 * rate
+                )
         else:
             toks_np = packed_np
             counts_np = np.full((toks_np.shape[0],), self.chunk, np.int32)
+        # Host mirror of per-slot lengths (drives the kv_window bound): every
+        # slot occupied at dispatch advanced by its accepted count.
+        for i in range(self.n_slots):
+            if active[i] is not None:
+                self.host_lengths[i] += int(counts_np[i])
         touched: List[Request] = []
 
         # Deferred first tokens: they precede the chunk's tokens in each
@@ -762,6 +975,7 @@ class ContinuousBatcher:
                 if self.slot_req[slot] is not req:
                     continue  # join failed and was retried elsewhere
                 req.tokens.append(int(val))
+                self.tokens_delivered += 1
                 touched.append(req)
                 if int(val) == self.eos_token_id or req.max_new_tokens <= 1:
                     self._finish(slot)
@@ -785,7 +999,8 @@ class ContinuousBatcher:
                 touched.append(req)
             for t in toks_np[slot][: counts_np[slot]].tolist():
                 req.tokens.append(int(t))
-                if self.spec_k:
+                self.tokens_delivered += 1
+                if use_spec:
                     self.spec_emitted += 1
                 if t == self.eos_token_id or len(req.tokens) >= req.max_new_tokens:
                     self._finish(slot)

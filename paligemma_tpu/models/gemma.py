@@ -77,13 +77,61 @@ class KVCache(NamedTuple):
         return self.length
 
 
+class QuantKVCache(NamedTuple):
+    """int8 KV cache: values stored int8 with one fp32 scale per written
+    (layer, row, position, kv_head) K row and V row.
+
+    Streamed decode bytes for K/V drop ~2x vs bf16 (the scale planes are
+    1/512 of the data); dequantization (``q * scale``) happens inside the
+    attention read, fused by XLA into the score/output matmuls. Quantization
+    error is bounded per 256-wide head row (amax/127), so scores see
+    <=0.8% relative error per element — greedy-stream fidelity is pinned
+    empirically (tests + the bench token-identity protocol). The reference's
+    cache is dynamic fp16 torch.cat (modeling_gemma.py:10-36).
+
+    k, v: (L, B, S, Hkv, hd) int8; k_scale, v_scale: (L, B, S, Hkv) fp32.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: jnp.ndarray
+    v_scale: jnp.ndarray
+    length: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    def num_items(self) -> jnp.ndarray:
+        return self.length
+
+
+def quantize_kv_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., hd) bf16/f32 -> ((..., hd) int8, (...) fp32 per-row scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def init_cache(
     cfg: GemmaConfig,
     batch: int,
     max_len: int,
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> KVCache:
+    """Preallocated cache; ``dtype=jnp.int8`` returns a QuantKVCache."""
     shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    if dtype == jnp.int8:
+        return QuantKVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            length=jnp.zeros((), jnp.int32),
+        )
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
@@ -221,28 +269,46 @@ def _attention(
     new_cache_kv = None
     decode_over_cache = False
     if cache_kv is not None:
-        ck, cv = cache_kv  # (B, S, Hkv, hd)
+        # 2-tuple = plain (ck, cv); 4-tuple = int8 QuantKVCache slices
+        # (ck, cv, k_scale, v_scale) — values stored int8 with one fp32
+        # scale per (row, position, kv_head); dequant happens inside the
+        # read below, fused by XLA into the attention matmuls.
+        quant = len(cache_kv) == 4
+        if quant:
+            ck, cv, cks, cvs = cache_kv
+            k_st, k_sc = quantize_kv_rows(k)  # (B,t,Hkv,hd) i8, (B,t,Hkv) f32
+            v_st, v_sc = quantize_kv_rows(v)
+        else:
+            ck, cv = cache_kv  # (B, S, Hkv, hd)
+            k_st, v_st = k.astype(ck.dtype), v.astype(cv.dtype)
         if write_pos is not None and getattr(write_pos, "ndim", 0) == 1:
             # Per-row write positions (continuous batching: each slot is at
             # its own sequence length) — one scatter instead of a slice.
             rows = jnp.arange(b)
             if t == 1:
-                ck = ck.at[rows, write_pos].set(k[:, 0].astype(ck.dtype))
-                cv = cv.at[rows, write_pos].set(v[:, 0].astype(cv.dtype))
+                ck = ck.at[rows, write_pos].set(k_st[:, 0])
+                cv = cv.at[rows, write_pos].set(v_st[:, 0])
+                if quant:
+                    cks = cks.at[rows, write_pos].set(k_sc[:, 0])
+                    cvs = cvs.at[rows, write_pos].set(v_sc[:, 0])
             else:
                 # Per-row speculative verify: row b writes its k fresh
                 # entries at write_pos[b]..write_pos[b]+t-1.
                 pos = write_pos[:, None] + jnp.arange(t)[None, :]
-                ck = ck.at[rows[:, None], pos].set(k.astype(ck.dtype))
-                cv = cv.at[rows[:, None], pos].set(v.astype(cv.dtype))
+                ck = ck.at[rows[:, None], pos].set(k_st)
+                cv = cv.at[rows[:, None], pos].set(v_st)
+                if quant:
+                    cks = cks.at[rows[:, None], pos].set(k_sc)
+                    cvs = cvs.at[rows[:, None], pos].set(v_sc)
         else:
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, write_pos, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, write_pos, 0, 0)
-            )
-        new_cache_kv = (ck, cv)
+            ck = jax.lax.dynamic_update_slice(ck, k_st, (0, write_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_st, (0, write_pos, 0, 0))
+            if quant:
+                cks = jax.lax.dynamic_update_slice(
+                    cks, k_sc, (0, write_pos, 0))
+                cvs = jax.lax.dynamic_update_slice(
+                    cvs, v_sc, (0, write_pos, 0))
+        new_cache_kv = (ck, cv, cks, cvs) if quant else (ck, cv)
         if t == 1 or multi_decode:
             # Decode: query attends over the whole preallocated buffer
             # (unwritten slots masked out by the validity mask).
@@ -250,7 +316,11 @@ def _attention(
             # over the warm cache under a per-query threshold mask (causal
             # among the fresh tokens, full over the accepted prefix).
             decode_over_cache = True
-            k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+            if quant:
+                k = ck.astype(q.dtype) * cks[..., None].astype(q.dtype)
+                v = cv.astype(q.dtype) * cvs[..., None].astype(q.dtype)
+            else:
+                k, v = ck.astype(q.dtype), cv.astype(q.dtype)
         # Prefill (t > 1, cache starts empty): attend over the fresh K/V only —
         # exact, because prefill is fully bidirectional over these T tokens —
         # instead of paying attention FLOPs over max_len padded slots.
@@ -439,15 +509,23 @@ def forward(
             ]
 
     xs: Dict[str, Any] = {"lp": params["layers"]}
+    quant_cache = use_cache and isinstance(cache, QuantKVCache)
     if use_cache:
         xs["ck"], xs["cv"] = cache.k, cache.v
+        if quant_cache:
+            xs["cks"], xs["cvs"] = cache.k_scale, cache.v_scale
     if use_lora:
         xs["lora"] = lora["layers"] if "layers" in lora else lora
         if lora_keys is not None:
             xs["lkey"] = lora_keys
 
     def body(carry, x):
-        cache_kv = (x["ck"], x["cv"]) if use_cache else None
+        if not use_cache:
+            cache_kv = None
+        elif quant_cache:
+            cache_kv = (x["ck"], x["cv"], x["cks"], x["cvs"])
+        else:
+            cache_kv = (x["ck"], x["cv"])
         new_h, new_kv = _decoder_layer(
             cfg, x["lp"], carry, cos, sin, cache_kv, write_pos, mask,
             x.get("lora"), lora_scale, lora_dropout, x.get("lkey"),
@@ -464,7 +542,13 @@ def forward(
     from paligemma_tpu import runtime
 
     h, ys = jax.lax.scan(body, h, xs, unroll=runtime.scan_unroll)
-    if use_cache:
+    if quant_cache:
+        nk, nv, nks, nvs = ys
+        new_cache = QuantKVCache(
+            k=nk, v=nv, k_scale=nks, v_scale=nvs,
+            length=cache.length + inputs_embeds.shape[1],
+        )
+    elif use_cache:
         nk, nv = ys
         new_cache = KVCache(k=nk, v=nv, length=cache.length + inputs_embeds.shape[1])
     else:

@@ -52,6 +52,25 @@ def main():
     ap.add_argument("--spec_k", type=int, default=0,
                     help=">=2: per-slot n-gram speculative decoding (each "
                          "chunk = `chunk` verify iterations of k tokens)")
+    ap.add_argument("--spec_adaptive", action="store_true",
+                    help="with --spec_k: per-chunk spec/plain choice from "
+                         "occupancy + acceptance EMA")
+    ap.add_argument("--spec_max_slots", type=int, default=24)
+    ap.add_argument("--spec_chunk", type=int, default=None,
+                    help="verify iterations per SPECULATIVE chunk (default: "
+                         "same as --chunk; adaptive engines want 8 so spec "
+                         "chunks run at speculation's winning cadence while "
+                         "plain chunks keep --chunk)")
+    ap.add_argument("--kv_quant", action="store_true",
+                    help="int8 KV cache (per-row scales)")
+    ap.add_argument("--kv_window", action="store_true",
+                    help="occupancy-bounded cache window")
+    ap.add_argument("--budget_set", choices=["std", "long"], default="std",
+                    help="std: {16..128} budgets, max_new 128 (the r2/r3 "
+                         "table workload). long: {64..512} budgets, max_new "
+                         "512 — the K/V-heavy regime where cache streaming "
+                         "is a large share of step bytes (the int8-KV / "
+                         "window levers' target)")
     ap.add_argument("--skip_coalesced", action="store_true",
                     help="measure only the continuous engine (skip the "
                          "coalescing baseline and its batch-shape compiles "
@@ -83,7 +102,12 @@ def main():
     # Shuffled mixed-length traffic: the arrival order real serving sees.
     # (In-order equal pairs would give coalescing the same critical path —
     # the win comes from backfilling freed slots, measured here.)
-    budgets = [int(b) for b in rng.choice([16, 32, 48, 64, 96, 128], n_req)]
+    budget_pool = (
+        [64, 128, 192, 256, 384, 512] if args.budget_set == "long"
+        else [16, 32, 48, 64, 96, 128]
+    )
+    max_new = 512 if args.budget_set == "long" else 128
+    budgets = [int(b) for b in rng.choice(budget_pool, n_req)]
     prompts = [f"describe financial document {i}" for i in range(n_req)]
     images = [
         Image.fromarray(rng.randint(0, 255, (224, 224, 3), np.uint8))
@@ -98,8 +122,10 @@ def main():
         eng = ContinuousBatcher(
             params, cfg, proc, n_slots=args.n_slots,
             prompt_budget=budget_prompt,
-            max_new_tokens=128, chunk=args.chunk, cache_dtype=dtype,
-            spec_k=args.spec_k,
+            max_new_tokens=max_new, chunk=args.chunk, cache_dtype=dtype,
+            spec_k=args.spec_k, spec_adaptive=args.spec_adaptive,
+            spec_max_slots=args.spec_max_slots, spec_chunk=args.spec_chunk,
+            kv_quant=args.kv_quant, kv_window=args.kv_window,
         )
         for p, im, b in zip(prompts, images, budgets):
             eng.submit(p, im, max_new_tokens=b)
@@ -156,6 +182,20 @@ def main():
     if args.spec_k and eng.spec_verifies:
         out["spec_tokens_per_verify"] = round(
             eng.spec_emitted / eng.spec_verifies, 3)
+    if args.spec_adaptive:
+        log_m = eng.spec_mode_log
+        out["spec_adaptive"] = True
+        out["spec_max_slots"] = args.spec_max_slots
+        out["spec_chunks"] = sum(log_m)
+        out["plain_chunks"] = len(log_m) - sum(log_m)
+        if eng.spec_accept_ema is not None:
+            out["spec_accept_ema"] = round(eng.spec_accept_ema, 3)
+    if args.kv_quant:
+        out["kv_quant"] = True
+    if args.kv_window:
+        out["kv_window"] = True
+        out["window_buckets"] = list(eng.window_buckets)
+        out["window_resizes"] = eng.window_resizes
     tag = "" if args.quant == "none" else f"_{args.quant}"
     if (args.n_slots, args.chunk) != (8, 16):
         tag += f"_s{args.n_slots}c{args.chunk}"
@@ -163,6 +203,15 @@ def main():
         tag += f"_r{args.n_req}"
     if args.spec_k:
         tag += f"_spec{args.spec_k}"
+        if args.spec_adaptive:
+            tag += "a"
+    if args.kv_quant:
+        tag += "_kvq"
+    if args.kv_window:
+        tag += "_kvw"
+    if args.budget_set != "std":
+        out["budget_set"] = args.budget_set
+        tag += f"_{args.budget_set}"
     name = f"continuous_bench{tag}.json"
     with open(name, "w") as f:
         json.dump(out, f, indent=2)

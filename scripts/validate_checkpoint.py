@@ -28,6 +28,14 @@ check failed):
 CI runs this end-to-end against a tiny HF-format checkpoint with a REAL
 fast tokenizer (tests/test_validate_checkpoint.py), so the same command is
 known-good before a real checkpoint ever shows up.
+
+``--selftest {tiny,flagship-ratios}`` needs no checkpoint: it synthesizes
+one (HF ``save_pretrained`` + a real fast tokenizer) at the chosen geometry
+and validates against it. ``flagship-ratios`` uses the flagship's ACTUAL
+extreme dimensions — head_dim 256, 8:1 GQA, 257,152-row tied embedding,
+hidden 2048, SigLIP patch 14 / hidden 1152 — at 2 layers, so the 1e-3
+HF-parity bar is exercised at the real ratios (the geometry shared with
+tests/test_golden_parity.py::flagship-ratios) without the real weights.
 """
 from __future__ import annotations
 
@@ -281,9 +289,91 @@ def run_checks(model_path: str, tokens: int, hf_mode: str, streaming_mode: str,
     return report
 
 
+# Geometries for --selftest: shared with tests/test_golden_parity.py (the
+# flagship's real extreme ratios at tiny layer counts — see that file's
+# GEOMETRIES comment for the rationale).
+SELFTEST_GEOMETRIES = {
+    "tiny": dict(
+        vision=dict(hidden_size=24, intermediate_size=48,
+                    num_attention_heads=4, num_hidden_layers=2,
+                    patch_size=8, image_size=32),
+        text=dict(hidden_size=32, intermediate_size=64, num_attention_heads=4,
+                  num_key_value_heads=2, head_dim=8, num_hidden_layers=2),
+        projection_dim=32,
+    ),
+    "flagship-ratios": dict(
+        vision=dict(hidden_size=1152, intermediate_size=2304,
+                    num_attention_heads=16, num_hidden_layers=2,
+                    patch_size=14, image_size=140),
+        text=dict(hidden_size=2048, intermediate_size=4096,
+                  num_attention_heads=8, num_key_value_heads=1, head_dim=256,
+                  num_hidden_layers=2),
+        projection_dim=2048,
+    ),
+}
+
+
+def synthesize_checkpoint(path: str, geometry: str) -> str:
+    """Write an HF-format checkpoint + real fast tokenizer at ``geometry``.
+
+    The tokenizer is a genuine PreTrainedTokenizerFast (WordLevel) with
+    bos/eos/pad/unk plus the processor-registered <image>/loc/seg tokens —
+    the same construction CI proves in tests/test_validate_checkpoint.py.
+    For flagship-ratios the model vocab is the real 257,152 (>> tokenizer
+    entries, exactly like a real checkpoint whose tokenizer ids are a subset
+    of the embedding rows).
+    """
+    import torch
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import (
+        PaliGemmaConfig as HFPaliGemmaConfig,
+        PaliGemmaForConditionalGeneration,
+        PreTrainedTokenizerFast,
+    )
+
+    from paligemma_tpu.processing import PaliGemmaProcessor
+
+    geo = SELFTEST_GEOMETRIES[geometry]
+    words = ["describe", "the", "chart", "image", "revenue", "trend",
+             "rising", "falling", "axis", "legend", "bar", "line", "price",
+             "volume", "profit", "loss", "growth", "table", "report"]
+    vocab = {"<pad>": 0, "<unk>": 1, "<bos>": 2, "<eos>": 3}
+    for w in words:
+        vocab[w] = len(vocab)
+    core = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    core.pre_tokenizer = Whitespace()
+    tok = PreTrainedTokenizerFast(
+        tokenizer_object=core, bos_token="<bos>", eos_token="<eos>",
+        pad_token="<pad>", unk_token="<unk>")
+    n_img = (geo["vision"]["image_size"] // geo["vision"]["patch_size"]) ** 2
+    proc = PaliGemmaProcessor(
+        tok, num_image_tokens=n_img, image_size=geo["vision"]["image_size"])
+    tok.save_pretrained(path)
+
+    vocab_size = 257152 if geometry == "flagship-ratios" else len(tok)
+    hf_cfg = HFPaliGemmaConfig(
+        vision_config=dict(projection_dim=geo["projection_dim"],
+                           **geo["vision"]),
+        text_config=dict(vocab_size=vocab_size,
+                         max_position_embeddings=8192, **geo["text"]),
+        image_token_index=proc.image_token_id,
+        pad_token_id=0,
+        projection_dim=geo["projection_dim"],
+        hidden_size=geo["text"]["hidden_size"],
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    log(f"synthesizing {geometry} checkpoint at {path} ...")
+    model = PaliGemmaForConditionalGeneration(hf_cfg).eval()
+    model.save_pretrained(path, safe_serialization=True)
+    return path
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("model_path")
+    ap.add_argument("model_path", nargs="?", default=None)
     ap.add_argument("--out", default=None,
                     help="JSON report path (default: stdout only)")
     ap.add_argument("--tokens", type=int, default=16,
@@ -296,6 +386,12 @@ def main(argv=None):
                          "for checkpoints > 2 GB")
     ap.add_argument("--max_hf_mb", type=float, default=2000.0)
     ap.add_argument("--only_cpu", action="store_true")
+    ap.add_argument("--selftest", choices=sorted(SELFTEST_GEOMETRIES),
+                    default=None,
+                    help="no checkpoint needed: synthesize one at this "
+                         "geometry and validate against it (HF parity forced "
+                         "on — flagship-ratios pins the 1e-3 bar at the real "
+                         "head_dim/vocab/GQA ratios)")
     args = ap.parse_args(argv)
 
     if args.only_cpu:
@@ -303,8 +399,22 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    tmpdir = None
+    if args.selftest:
+        if args.model_path is None:
+            import tempfile
+
+            tmpdir = tempfile.TemporaryDirectory(prefix="pg_selftest_")
+            args.model_path = tmpdir.name
+        synthesize_checkpoint(args.model_path, args.selftest)
+        args.hf = "on"  # the parity bar is the point of the selftest
+    elif args.model_path is None:
+        ap.error("model_path is required unless --selftest is given")
+
     report = run_checks(args.model_path, args.tokens, args.hf,
                         args.streaming, args.max_hf_mb)
+    if args.selftest:
+        report["selftest_geometry"] = args.selftest
     out = json.dumps(report, indent=2)
     if args.out:
         with open(args.out, "w") as f:

@@ -6,6 +6,10 @@ reference's Streamlit UI (reference: app.py) with a programmatic surface.
 
 Endpoints:
   GET  /healthz            -> {"status": "ok", "model": "...", "device": "..."}
+  GET  /metrics            -> serving observability JSON: HTTP response-code
+      counters, in-flight count, slot occupancy, engine queue depth,
+      deadline-eviction counters, useful-tok/s chunk EMA, speculative
+      acceptance EMA + per-mode chunk counts (continuous mode)
   POST /generate           -> {"text": ..., "tokens": [...], "num_tokens": N}
       JSON body: {"prompt": str, "image_b64": base64-encoded image bytes,
                   "max_tokens": int=100, "temperature": float=0.8,
@@ -84,6 +88,46 @@ class Admission:
         finally:
             with self._mu:
                 self._n -= 1
+
+
+class Metrics:
+    """Serving observability counters behind ``GET /metrics`` (std-lib JSON —
+    the serving-grade analog of the reference's print-based observability,
+    reference: ablation_study_fixed.py:519-561).
+
+    HTTP response codes are counted centrally in the handler's ``_send``;
+    engine-side gauges (slot occupancy, queue depth, spec acceptance) are
+    read live from the batcher at scrape time; the chunk-throughput EMA is
+    fed by the continuous runner's loop."""
+
+    def __init__(self):
+        self._mu = threading.Lock()
+        self.counters: dict = {}
+        self.tok_s_ema = None  # useful tokens/sec over recent decode chunks
+        self.started = time.time()
+
+    def inc(self, name: str, n: int = 1) -> None:
+        with self._mu:
+            self.counters[name] = self.counters.get(name, 0) + n
+
+    def observe_chunk(self, tokens: int, dt_s: float) -> None:
+        """One engine-loop iteration delivered ``tokens`` in ``dt_s``."""
+        if dt_s <= 0 or tokens <= 0:
+            return
+        rate = tokens / dt_s
+        with self._mu:
+            self.tok_s_ema = (
+                rate if self.tok_s_ema is None
+                else 0.8 * self.tok_s_ema + 0.2 * rate
+            )
+
+    def snapshot(self) -> dict:
+        with self._mu:
+            out = dict(self.counters)
+            out["uptime_s"] = round(time.time() - self.started, 1)
+            if self.tok_s_ema is not None:
+                out["chunk_tok_s_ema"] = round(self.tok_s_ema, 1)
+        return out
 
 
 class Engine:
@@ -344,12 +388,17 @@ class ContinuousRunner:
     def __init__(self, engine: Engine, n_slots: int = 4, chunk: int = 8,
                  max_new_cap: int = 256, prompt_extra=(64,),
                  lora_rank=None, adapters=None, prefill_cache=0,
-                 queue_depth: int = 64, deadline_s=None, spec_k: int = 0):
+                 queue_depth: int = 64, deadline_s=None, spec_k: int = 0,
+                 spec_adaptive: bool = True, spec_max_slots: int = 24,
+                 spec_chunk=None,
+                 kv_quant: bool = False, kv_window: bool = False,
+                 metrics: Metrics = None):
         from paligemma_tpu.continuous import ContinuousBatcher
 
         self.engine = engine
         n_img = engine.cfg.vision_config.num_image_tokens
         self.max_new_cap = max_new_cap
+        self.metrics = metrics or Metrics()
         if isinstance(prompt_extra, int):
             prompt_extra = (prompt_extra,)
         self.batcher = ContinuousBatcher(
@@ -361,6 +410,16 @@ class ContinuousRunner:
             lora_rank=lora_rank,
             prefill_cache_size=prefill_cache,
             spec_k=spec_k,
+            spec_adaptive=spec_adaptive,
+            spec_max_slots=spec_max_slots,
+            # Adaptive default: spec chunks at speculation's winning cadence
+            # (chunk/k verify iterations ~= the same token budget per chunk)
+            # while plain chunks keep the peak `chunk` cadence.
+            spec_chunk=spec_chunk or (
+                max(1, chunk // spec_k) if (spec_k and spec_adaptive) else None
+            ),
+            kv_quant=kv_quant,
+            kv_window=kv_window,
         )
         # Multi-tenant LoRA: {name: (adapter_tree, scale)} registered once;
         # requests pick one by name ("adapter" field).
@@ -398,6 +457,7 @@ class ContinuousRunner:
             creq = slot.get("creq")
             if creq is not None:
                 creq.cancelled = True
+            self.metrics.inc("evictions_wedged")
             raise RequestTimeout(self.deadline_s)
         if isinstance(slot["result"], Exception):
             raise slot["result"]
@@ -462,6 +522,7 @@ class ContinuousRunner:
                 req = slot["request"]
                 if slot["deadline"] is not None and now > slot["deadline"]:
                     # Expired while queued: 504 without occupying a slot.
+                    self.metrics.inc("evictions_queued")
                     err = RequestTimeout(self.deadline_s)
                     sq = slot.get("stream_q")
                     if sq is not None:
@@ -514,14 +575,20 @@ class ContinuousRunner:
                             and slot["deadline"] is not None
                             and now > slot["deadline"]
                             and creq.error is None):
+                        self.metrics.inc("evictions_deadline")
                         creq.error = RequestTimeout(self.deadline_s)
                         creq.cancelled = True
 
             active = 0
+            t0 = time.time()
+            toks0 = self.batcher.tokens_delivered
             try:
                 with self.engine.lock:
                     active = sum(r is not None for r in self.batcher.slot_req)
                     self.batcher.step()
+                self.metrics.observe_chunk(
+                    self.batcher.tokens_delivered - toks0, time.time() - t0
+                )
             except Exception as e:
                 # A transient engine/backend fault (the tunneled TPU RPC is
                 # known to occasionally fail) must not kill this thread —
@@ -617,11 +684,14 @@ go.onclick=async()=>{
 </script></body></html>"""
 
 
-def make_handler(engine: Engine, batcher=None, admission: Admission = None):
+def make_handler(engine: Engine, batcher=None, admission: Admission = None,
+                 metrics: Metrics = None):
     admission = admission or Admission()
+    metrics = metrics or Metrics()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload, headers=None):
+            metrics.inc(f"http_{code}")
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -630,6 +700,40 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None):
                 self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
+
+        def _metrics_payload(self):
+            m = metrics.snapshot()
+            m["in_flight"] = admission._n
+            m["queue_depth_max"] = admission.depth
+            m["mode"] = (
+                "continuous" if isinstance(batcher, ContinuousRunner)
+                else "batched" if batcher is not None else "single"
+            )
+            if isinstance(batcher, ContinuousRunner):
+                b = batcher.batcher
+                m.update(
+                    slots_total=b.n_slots,
+                    slots_occupied=sum(
+                        r is not None for r in b.slot_req),
+                    engine_queue=len(b.pending) + batcher.queue.qsize(),
+                    requests_completed=len(b.completed),
+                    tokens_delivered=b.tokens_delivered,
+                    chunks_run=b.chunks_run,
+                    prefill_cache_hits=b.prefill_cache_hits,
+                )
+                if b.spec_k:
+                    log = b.spec_mode_log
+                    m.update(
+                        spec_k=b.spec_k,
+                        spec_adaptive=b.spec_adaptive,
+                        spec_verifies=b.spec_verifies,
+                        spec_emitted=b.spec_emitted,
+                        spec_chunks=sum(log),
+                        plain_chunks=len(log) - sum(log),
+                    )
+                    if b.spec_accept_ema is not None:
+                        m["spec_accept_ema"] = round(b.spec_accept_ema, 3)
+            return m
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -643,6 +747,8 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None):
                 if isinstance(batcher, ContinuousRunner):
                     info["adapters"] = batcher.adapters
                 self._send(200, info)
+            elif self.path == "/metrics":
+                self._send(200, self._metrics_payload())
             elif self.path in ("/", "/index.html"):
                 body = INDEX_HTML.encode()
                 self.send_response(200)
@@ -751,6 +857,7 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None):
                 except Exception as e:
                     return self._send(500, {"error": repr(e)})
 
+                metrics.inc("http_200_stream")
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
@@ -862,6 +969,29 @@ def main(argv=None):
                         "decoding — greedy requests emit up to k exact "
                         "tokens per verify at the workload's acceptance "
                         "rate; sampled requests unaffected (REPORT.md)")
+    p.add_argument("--spec_adaptive", choices=["on", "off"], default="on",
+                   help="with --spec_k: choose per chunk between the "
+                        "speculative and plain programs from occupancy + "
+                        "acceptance EMA (spec wins at narrow widths, plain "
+                        "at the 32-slot peak — REPORT.md); off = always "
+                        "speculate")
+    p.add_argument("--spec_max_slots", type=int, default=24,
+                   help="adaptive speculation: occupied-slot count above "
+                        "which chunks run the plain program (default 24, "
+                        "the measured crossover)")
+    p.add_argument("--spec_chunk", type=int, default=None,
+                   help="verify iterations per SPECULATIVE chunk (default: "
+                        "chunk/spec_k under --spec_adaptive, else chunk)")
+    p.add_argument("--kv_quant", choices=["on", "off"], default="off",
+                   help="continuous mode: int8 KV cache (per-row scales, "
+                        "dequant fused into the attention read) — halves the "
+                        "per-step K/V streaming; greedy fidelity pinned "
+                        "empirically (REPORT.md)")
+    p.add_argument("--kv_window", choices=["on", "off"], default="off",
+                   help="continuous mode: occupancy-bounded cache window — "
+                        "the live cache is kept at the smallest bucket "
+                        "covering every occupied slot, so chunks stop "
+                        "streaming unwritten tail slots")
     p.add_argument("--prefill_cache", type=int, default=0,
                    help="continuous mode: LRU size of the content-keyed "
                         "prefix cache — repeated identical (prompt, image, "
@@ -878,6 +1008,7 @@ def main(argv=None):
         args.model_path, demo=args.demo or not args.model_path,
         quant=args.quant,
     )
+    metrics = Metrics()
 
     # Warm-up: pay the jit compiles before accepting traffic so the first
     # request is fast.
@@ -925,6 +1056,12 @@ def main(argv=None):
             # pay multi-minute remote compiles and must not be evicted.
             deadline_s=None,
             spec_k=args.spec_k,
+            spec_adaptive=args.spec_adaptive == "on",
+            spec_max_slots=args.spec_max_slots,
+            spec_chunk=args.spec_chunk,
+            kv_quant=args.kv_quant == "on",
+            kv_window=args.kv_window == "on",
+            metrics=metrics,
         )
         # Warm the slot programs (bucketed prefill + slot decode + insert)
         # for EVERY prompt bucket — a shape compiled mid-traffic stalls all
@@ -990,7 +1127,8 @@ def main(argv=None):
         batcher.deadline_s = deadline_s
     admission = Admission(depth=args.queue_depth, deadline_s=deadline_s)
     server = ThreadingHTTPServer(
-        ("127.0.0.1", args.port), make_handler(engine, batcher, admission)
+        ("127.0.0.1", args.port),
+        make_handler(engine, batcher, admission, metrics),
     )
     print(f"serving on http://127.0.0.1:{args.port}", flush=True)
     server.serve_forever()

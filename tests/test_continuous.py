@@ -332,3 +332,71 @@ def test_cancel_while_queued(setup):
     r1.cancelled = True
     eng.run()
     assert r1.done and r1.tokens == []
+
+
+def test_kv_window_identity_with_resizes(setup):
+    """Occupancy-bounded cache window (kv_window): streams are EXACTLY the
+    full-cache engine's (the masked attention never read the dropped tail),
+    while the window genuinely resized (grow on a long request, shrink after
+    it finishes and short requests rejoin)."""
+    params, cfg, proc, prompts, images = setup
+
+    def run(**kw):
+        eng = ContinuousBatcher(
+            params, cfg, proc, n_slots=2, max_new_tokens=160, chunk=4,
+            cache_dtype=jnp.float32, **kw,
+        )
+        # One long request crosses the first bucket; the short ones after it
+        # pull the bound back down.
+        budgets = [140, 6, 5, 7]
+        reqs = [eng.submit(p, im, max_new_tokens=m)
+                for (p, im, m) in zip(prompts, images, budgets)]
+        eng.run()
+        assert all(r.done and r.error is None for r in reqs)
+        return [r.tokens for r in reqs], eng
+
+    base, _ = run()
+    win, eng = run(kv_window=True)
+    assert win == base
+    assert eng.window_buckets is not None and len(eng.window_buckets) >= 2
+    assert eng.window_resizes >= 1, (eng.window_buckets, eng.window)
+
+
+def test_kv_quant_engine_streams(setup):
+    """int8 KV cache engine: requests complete and (on this tiny fp32 model)
+    the greedy streams match the bf16-cache engine's token for token."""
+    params, cfg, proc, prompts, images = setup
+
+    def run(**kw):
+        eng = ContinuousBatcher(
+            params, cfg, proc, n_slots=2, max_new_tokens=9, chunk=3,
+            cache_dtype=jnp.float32, **kw,
+        )
+        reqs = [eng.submit(p, im, max_new_tokens=m)
+                for (p, im, m) in zip(prompts, images, [5, 9, 3, 7])]
+        eng.run()
+        assert all(r.done and r.error is None for r in reqs)
+        return [r.tokens for r in reqs]
+
+    base = run()
+    assert run(kv_quant=True) == base
+    # All three levers compose (quant + window + full path through joins).
+    assert run(kv_quant=True, kv_window=True) == base
+
+
+def test_kv_quant_spec_engine(setup):
+    """int8 KV composes with per-slot speculation: greedy streams match the
+    plain engine's (the verify path reads the dequantized cache)."""
+    params, cfg, proc, prompts, images = setup
+
+    def run(**kw):
+        eng = ContinuousBatcher(
+            params, cfg, proc, n_slots=2, max_new_tokens=8, chunk=3,
+            cache_dtype=jnp.float32, **kw,
+        )
+        reqs = [eng.submit(p, im) for p, im in zip(prompts[:3], images[:3])]
+        eng.run()
+        assert all(r.done and r.error is None for r in reqs)
+        return [r.tokens for r in reqs]
+
+    assert run(kv_quant=True, spec_k=3) == run()

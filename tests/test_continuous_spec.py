@@ -122,6 +122,49 @@ def test_spec_engine_multi_lora(setup):
     assert run(spec_k=4) == run(spec_k=0)
 
 
+def test_adaptive_engine_identical_to_plain(setup):
+    """Occupancy-adaptive engine (spec_adaptive): mode switches mid-stream
+    as occupancy crosses spec_max_slots, and every greedy stream stays
+    exactly the plain engine's. spec_max_slots=1 with 2 slots forces plain
+    chunks while both slots are busy and spec chunks when one drains —
+    both programs run within one request lifetime."""
+    params, cfg, proc, prompts, images = setup
+    subs = [((p, im), dict(max_new_tokens=m))
+            for (p, im, m) in zip(prompts, images, [9, 3, 7, 5])]
+    base, _ = run_engine(params, cfg, proc, subs, spec_k=0)
+    spec, eng = run_engine(
+        params, cfg, proc, subs, spec_k=3,
+        spec_adaptive=True, spec_max_slots=1,
+    )
+    assert spec == base, (spec, base)
+    # The run genuinely exercised BOTH programs.
+    assert True in eng.spec_mode_log and False in eng.spec_mode_log, (
+        eng.spec_mode_log)
+
+
+def test_adaptive_low_acceptance_demotes_and_probes(setup):
+    """An unreachable spec_min_accept demotes to plain after the first
+    speculative chunk; spec_probe_every re-probes on schedule; streams stay
+    exact."""
+    params, cfg, proc, prompts, images = setup
+    subs = [((prompts[0], images[0]), dict(max_new_tokens=12))]
+    base, _ = run_engine(params, cfg, proc, subs, spec_k=0, max_new=12)
+    spec, eng = run_engine(
+        params, cfg, proc, subs, spec_k=3, max_new=12,
+        spec_adaptive=True, spec_max_slots=2,
+        spec_min_accept=100.0, spec_probe_every=2,
+    )
+    assert spec == base, (spec, base)
+    log = eng.spec_mode_log
+    # First chunk speculates (no EMA yet), then demotes; every later spec
+    # chunk is a scheduled probe after exactly spec_probe_every plain chunks.
+    assert log[0] is True
+    for i, mode in enumerate(log[1:], start=1):
+        if mode:
+            assert log[i - 2 : i] == [False, False], (i, log)
+    assert eng.spec_accept_ema is not None
+
+
 def test_spec_engine_prefill_cache(setup):
     """The content-keyed prefix cache stores prompt ids too, so a cache-hit
     join still seeds the n-gram history; repeated requests stay identical."""

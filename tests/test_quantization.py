@@ -205,3 +205,33 @@ def test_int4_generation_runs(params, cfg, sample_inputs):
         cache_dtype=jnp.float32, stop_at_eos=False,
     )
     assert len(toks) == 4
+
+
+def test_kv_row_quant_error_bound():
+    """quantize_kv_rows: per-row amax/127 scale bounds the dequant error by
+    half an int8 step per element (the int8-KV-cache fidelity argument)."""
+    from paligemma_tpu.models.gemma import quantize_kv_rows
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 1, 64)) * 3.0
+    q, scale = quantize_kv_rows(x)
+    assert q.dtype == jnp.int8 and scale.shape == x.shape[:-1]
+    deq = np.asarray(q, np.float32) * np.asarray(scale)[..., None]
+    err = np.abs(deq - np.asarray(x))
+    bound = np.asarray(scale)[..., None] * 0.5 + 1e-6
+    assert np.all(err <= bound)
+
+
+def test_int8_kv_cache_generation_matches(params, cfg, sample_inputs):
+    """Single-stream generation with an int8 KV cache (cache_dtype=jnp.int8
+    -> gemma.QuantKVCache): greedy tokens match the fp32-cache stream on the
+    tiny model, through both the chunked and the speculative drivers."""
+    ids, pix = sample_inputs
+    kw = dict(max_new_tokens=10, eos_token_id=-1)
+    base = generation.generate_chunked(
+        params, cfg, ids, pix, cache_dtype=jnp.float32, chunk=4, **kw)
+    q8 = generation.generate_chunked(
+        params, cfg, ids, pix, cache_dtype=jnp.int8, chunk=4, **kw)
+    assert q8 == base
+    spec = generation.generate_spec(
+        params, cfg, ids, pix, cache_dtype=jnp.int8, chunk=4, k=3, **kw)
+    assert spec == base

@@ -263,6 +263,38 @@ def test_continuous_adapter_roundtrip(continuous_server):
     assert "unknown adapter" in e.value.read().decode()
 
 
+def test_metrics_endpoint(continuous_server):
+    """GET /metrics: serving observability counters move under a scripted
+    workload (VERDICT r3 #6)."""
+    base = continuous_server
+    m0 = json.loads(urllib.request.urlopen(base + "/metrics").read())
+    assert m0["mode"] == "continuous"
+    assert m0["slots_total"] == 2
+    with _post(base, "/generate",
+               {"prompt": "metrics probe", "image_b64": _b64img(42),
+                "max_tokens": 6}) as r:
+        out = json.loads(r.read())
+    assert out["num_tokens"] >= 1
+    m1 = json.loads(urllib.request.urlopen(base + "/metrics").read())
+    # The request moved the counters: tokens delivered, chunks, completions,
+    # HTTP 200s, and the chunk-throughput EMA appeared.
+    assert m1["tokens_delivered"] >= m0.get("tokens_delivered", 0) + out["num_tokens"]
+    assert m1["chunks_run"] > m0.get("chunks_run", 0)
+    assert m1["requests_completed"] > m0.get("requests_completed", 0)
+    assert m1["http_200"] > m0.get("http_200", 0)
+    assert m1["chunk_tok_s_ema"] > 0
+    assert m1["slots_occupied"] in (0, 1, 2)
+    assert m1["in_flight"] == 0
+    assert "uptime_s" in m1
+
+
+def test_metrics_single_mode(server):
+    """/metrics also serves the non-continuous engine (mode + HTTP counters)."""
+    m = json.loads(urllib.request.urlopen(server + "/metrics").read())
+    assert m["mode"] == "batched"
+    assert "slots_total" not in m
+
+
 def test_adapter_requires_continuous(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/generate",
