@@ -177,3 +177,38 @@ def test_batched_serving_pallas_matches_xla(params, cfg):
         runtime.set_pallas_attention(False)
         jax.clear_caches()
     assert pallas_tokens == ref_tokens
+
+
+def test_auto_flash_long_seq_logit_parity(params, cfg):
+    """The auto-flash route (seq >= runtime.auto_flash_min_seq reroutes
+    prefill through the Pallas flash kernel even with use_pallas_attention
+    off) must hold the 1e-3 LOGIT bar at a genuinely long sequence — the
+    896-res path's fidelity previously rested only on short-sequence kernel
+    tests (ADVICE r3). Runs the decoder trunk + lm_head over 2048 tokens
+    with the XLA path vs the flash route."""
+    import jax
+
+    from paligemma_tpu import runtime
+    from paligemma_tpu.models import gemma
+
+    tc = cfg.text_config
+    ids = jax.random.randint(jax.random.PRNGKey(11), (1, 2048), 0, 200)
+    embeds = gemma.embed_tokens(params["llm"], ids)
+    positions = jnp.arange(2048, dtype=jnp.int32)[None, :]
+
+    def trunk():
+        h, _ = gemma.forward(params["llm"], tc, embeds, positions)
+        return np.asarray(gemma.logits(params["llm"], h))
+
+    old = runtime.auto_flash_min_seq
+    try:
+        runtime.set_auto_flash_min_seq(0)  # plain XLA attention
+        jax.clear_caches()
+        ref = trunk()
+        runtime.set_auto_flash_min_seq(2048)  # flash auto-route engages
+        jax.clear_caches()
+        got = trunk()
+    finally:
+        runtime.set_auto_flash_min_seq(old)
+        jax.clear_caches()
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
