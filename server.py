@@ -733,6 +733,12 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None,
                     )
                     if b.spec_accept_ema is not None:
                         m["spec_accept_ema"] = round(b.spec_accept_ema, 3)
+                if b.window_buckets:
+                    m.update(
+                        kv_window=b.window,
+                        kv_window_buckets=list(b.window_buckets),
+                        kv_window_resizes=b.window_resizes,
+                    )
             return m
 
         def do_GET(self):
@@ -900,6 +906,17 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None,
     return Handler
 
 
+def _kv_window_enabled(args) -> bool:
+    """Resolve --kv_window {on,off,auto}: 'auto' enables the occupancy-
+    bounded cache window exactly when adaptive speculation is active, where
+    it measured +5.5% (vs -5% under the plain program — REPORT.md round 4).
+    """
+    if args.kv_window == "on":
+        return True
+    return (args.kv_window == "auto" and args.spec_k >= 2
+            and args.spec_adaptive == "on")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_path", type=str, default=None)
@@ -992,11 +1009,18 @@ def main(argv=None):
                         "dequant fused into the attention read) — halves the "
                         "per-step K/V streaming; greedy fidelity pinned "
                         "empirically (REPORT.md)")
-    p.add_argument("--kv_window", choices=["on", "off"], default="off",
+    p.add_argument("--kv_window", choices=["on", "off", "auto"],
+                   default="auto",
                    help="continuous mode: occupancy-bounded cache window — "
                         "the live cache is kept at the smallest bucket "
                         "covering every occupied slot, so chunks stop "
-                        "streaming unwritten tail slots")
+                        "streaming unwritten tail slots. 'auto' (default) "
+                        "enables it exactly when adaptive speculation is "
+                        "active (spec_k>=2 + spec_adaptive): measured "
+                        "+5.5%% there (1742.6 vs 1651.9 useful tok/s at 32 "
+                        "slots — the verify program streams the cache "
+                        "hardest) but -5%% under the plain program "
+                        "(REPORT.md round 4)")
     p.add_argument("--prefill_cache", type=int, default=0,
                    help="continuous mode: LRU size of the content-keyed "
                         "prefix cache — repeated identical (prompt, image, "
@@ -1065,7 +1089,7 @@ def main(argv=None):
             spec_max_slots=args.spec_max_slots,
             spec_chunk=args.spec_chunk,
             kv_quant=args.kv_quant == "on",
-            kv_window=args.kv_window == "on",
+            kv_window=_kv_window_enabled(args),
             metrics=metrics,
         )
         # Warm the slot programs (bucketed prefill + slot decode + insert)

@@ -400,3 +400,23 @@ def test_continuous_generate_join_error_is_500(continuous_server):
     except urllib.error.HTTPError as e:
         assert e.code == 500
         assert "prompt" in e.read().decode()
+
+
+def test_kv_window_auto_resolution():
+    """--kv_window auto follows adaptive speculation (REPORT.md round 4:
+    the window wins under the verify-heavy spec program, loses under plain).
+    """
+    import argparse
+
+    import server as srv
+
+    def args(**kw):
+        d = dict(kv_window="auto", spec_k=4, spec_adaptive="on")
+        d.update(kw)
+        return argparse.Namespace(**d)
+
+    assert srv._kv_window_enabled(args()) is True           # default config
+    assert srv._kv_window_enabled(args(spec_k=0)) is False  # spec disabled
+    assert srv._kv_window_enabled(args(spec_adaptive="off")) is False
+    assert srv._kv_window_enabled(args(kv_window="off")) is False
+    assert srv._kv_window_enabled(args(kv_window="on", spec_k=0)) is True
