@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import itertools
 from collections import deque
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +134,7 @@ def slot_decode_steps_spec(
     n: int = 3,
     lora=None,
     occupied: Optional[jnp.ndarray] = None,  # (B,) bool — host occupancy truth
+    draft_noise: Optional[jnp.ndarray] = None,  # scalar in [0,1]; see below
 ):
     """``n_iters`` speculative verify iterations for all slots as ONE
     compiled program (the spec analog of ``slot_decode_steps``).
@@ -154,6 +155,14 @@ def slot_decode_steps_spec(
     Returns (toks (B, n_iters*k), counts (B,), last token (B, 1), cache,
     lengths, ids_buf, buf_lens); row b's valid tokens are
     ``toks[b, :counts[b]]``.
+
+    ``draft_noise`` (traced scalar, benchmark-only): replace each draft
+    token with a uniform-random vocab id with this probability BEFORE
+    verification. Corrupted drafts are simply rejected by the prefix-match
+    rule, so emitted streams stay exactly plain-decoding's — the knob
+    degrades ACCEPTANCE only, emulating low-n-gram-structure (real-text)
+    traffic to measure the adaptive engine's graceful-degradation floor
+    without a real checkpoint (VERDICT r3 missing #1).
     """
     b = token.shape[0]
     out0 = jnp.zeros((b, n_iters * k), jnp.int32)
@@ -165,6 +174,15 @@ def slot_decode_steps_spec(
         drafts = jax.vmap(
             lambda row, bl, t0: generation._ngram_propose_row(row, bl, t0, k, n)
         )(ibuf, blens, tok[:, 0])
+        if draft_noise is not None:
+            flip = jax.random.uniform(
+                jax.random.fold_in(step_key, 0x6E6F), drafts.shape
+            ) < draft_noise
+            junk = jax.random.randint(
+                jax.random.fold_in(step_key, 0x6A6B), drafts.shape,
+                0, cfg.text_config.vocab_size, jnp.int32,
+            )
+            drafts = jnp.where(flip, junk, drafts)
         inp = jnp.concatenate([tok, drafts.astype(jnp.int32)], axis=1)  # (B,k)
         positions = (
             lens[:, None].astype(jnp.int32)
@@ -381,17 +399,37 @@ class ContinuousBatcher:
         k-position verify stops being free once batch*k positions leave the
         weight-streaming-bound regime. Policy: run spec when
         occupied-slot count <= spec_max_slots AND the acceptance EMA (when
-        known) clears spec_min_accept; after low-acceptance demotion, probe
-        spec again every spec_probe_every chunks to refresh the EMA. Both
-        programs are compiled on first use; greedy streams are exact across
-        mode switches (both modes emit exact greedy tokens).
-      spec_max_slots: occupancy threshold for spec_adaptive (default 24 —
-        the measured crossover, REPORT.md r3).
-      spec_min_accept: tokens/verify EMA below which spec chunks demote to
-        plain (default 1.25; verify costs ~(1+k/chunk-ish) of a plain step
-        at narrow widths, so <=1.25 accepted tokens/iteration is a loss).
-      spec_probe_every: plain chunks between speculative re-probes after a
-        low-acceptance demotion (default 8).
+        known) clears the current rung's break-even; after low-acceptance
+        demotion, probe spec again on an exponentially backed-off schedule
+        (spec_probe_every .. 8x). All programs are compiled on first use;
+        greedy streams are exact across mode switches (every mode emits
+        exact greedy tokens).
+      spec_ks: the adaptive DRAFT-DEPTH LADDER — ascending k rungs (one
+        compiled verify program each). The policy climbs a rung when
+        acceptance nearly saturates the current k (EMA >= 0.85*k) and
+        steps down when EMA is under the rung's break-even. Default: the
+        single-rung ladder ``(spec_k,)`` — which is also the SHIPPED
+        server config (k=8 alone): the r4 sweep found k=8 dominates k=4
+        at every measured acceptance (2165 vs 1944 std / 4647 vs 2453
+        long clean; 1486 vs 1285 at degraded acceptance), so the (4,8)
+        ladder only added rung-oscillation cost (REPORT.md r4, PARITY
+        negatives).
+      spec_max_slots: optional occupancy gate for spec_adaptive — chunks
+        with more occupied slots run plain. Default None (no gate): the
+        r3 crossover at 24 slots was specific to the k=4-at-chunk-cadence
+        program; the shipped k=8/cadence-16/window program wins at full
+        32-slot width (REPORT.md r4).
+      spec_min_accept: tokens/verify EMA below which the current rung
+        demotes (a rung down, or to plain from the lowest). Default None =
+        2.0 — the measured k=8 SERVING break-even bracket (r4 draft-noise
+        curve: wins at EMA 2.2, loses at 1.4; budget overshoot at the
+        winning cadence puts it well above the single-stream 1.0, and
+        shallower rungs break even HIGHER — k=4 loses even at EMA 2.5).
+        An explicit float applies to every rung.
+      spec_probe_every: base interval (in plain chunks) between speculative
+        re-probes after a full demotion (default 8); failed probes double
+        it up to 8x (probe chunks at near-zero acceptance cost real
+        throughput — r4 noise-0.9: 1308 vs 1413 tok/s with fixed probes).
       kv_quant: store K/V int8 with per-(row, position, head) scales
         (gemma.QuantKVCache) — halves the per-step cache streaming (~600
         MB/step of bf16 K/V at the 32-slot peak); dequantization fuses into
@@ -433,9 +471,11 @@ class ContinuousBatcher:
         spec_ngram: int = 3,
         spec_chunk: Optional[int] = None,
         spec_adaptive: bool = False,
-        spec_max_slots: int = 24,
-        spec_min_accept: float = 1.25,
+        spec_max_slots: Optional[int] = None,
+        spec_min_accept: Optional[float] = None,
         spec_probe_every: int = 8,
+        spec_ks: Optional[Sequence[int]] = None,
+        draft_noise: float = 0.0,
     ):
         self.params, self.cfg, self.processor = params, cfg, processor
         self.n_slots = n_slots
@@ -467,11 +507,22 @@ class ContinuousBatcher:
         )
         self.key = jax.random.PRNGKey(seed)
 
-        self.spec_k = int(spec_k)
-        self.spec_ngram = int(spec_ngram)
-        if self.spec_k and self.spec_k < 2:
+        # Draft-depth ladder: spec_ks are the k values the adaptive policy
+        # may run (ascending rungs, one compiled verify program each);
+        # spec_k alone is a single-rung ladder (the pre-r4 surface).
+        # spec_k always exposes the DEEPEST rung (it sizes buffers).
+        if spec_ks:
+            self.spec_ks = tuple(sorted({int(x) for x in spec_ks}))
+            if spec_k and int(spec_k) not in self.spec_ks:
+                raise ValueError(
+                    f"spec_k={spec_k} must be one of spec_ks={spec_ks}")
+        else:
+            self.spec_ks = (int(spec_k),) if spec_k else ()
+        if any(x < 2 for x in self.spec_ks):
             raise ValueError(
-                f"spec_k must be 0 (off) or >= 2 (1+ drafts), got {spec_k}")
+                f"speculative k values must be >= 2, got {self.spec_ks}")
+        self.spec_k = self.spec_ks[-1] if self.spec_ks else 0
+        self.spec_ngram = int(spec_ngram)
         # Verify iterations per SPECULATIVE chunk (plain chunks always run
         # ``chunk`` one-token steps). Decoupled so an adaptive engine can
         # run plain chunks at the peak cadence (32 steps) and spec chunks at
@@ -481,15 +532,39 @@ class ContinuousBatcher:
         if self.spec_k and self.spec_chunk < 1:
             raise ValueError(f"spec_chunk must be >= 1, got {spec_chunk}")
         self.spec_adaptive = bool(spec_adaptive) and self.spec_k > 0
-        self.spec_max_slots = int(spec_max_slots)
-        self.spec_min_accept = float(spec_min_accept)
+        if len(self.spec_ks) > 1 and not self.spec_adaptive:
+            raise ValueError("a multi-rung spec_ks ladder requires "
+                             "spec_adaptive (the policy picks the rung)")
+        self.spec_max_slots = (
+            int(spec_max_slots) if spec_max_slots is not None else None)
+        # Acceptance EMA below which a rung is not worth its verify cost
+        # (see _min_accept: measured-flat ~2.0, NOT proportional to k).
+        self.spec_min_accept = (
+            None if spec_min_accept is None else float(spec_min_accept))
         self.spec_probe_every = int(spec_probe_every)
+        # Exponential probe backoff while demoted (failed probes double the
+        # interval up to 8x): at near-zero acceptance, probe chunks
+        # themselves cost throughput (r4 noise-0.9 run: 1308 vs 1413
+        # plain with fixed-interval probes).
+        self._probe_interval = self.spec_probe_every
+        self._probing = False
+        # Current ladder rung (index into spec_ks); starts at the lowest
+        # rung and climbs only on measured near-saturated acceptance.
+        self._spec_rung = 0
+        # Benchmark-only acceptance degrader (see slot_decode_steps_spec):
+        # traced scalar so sweeping it never recompiles; None keeps the
+        # production program byte-identical (no noise ops traced).
+        self.draft_noise = (
+            jnp.float32(draft_noise) if draft_noise > 0.0 else None
+        )
         # Acceptance EMA (tokens/verify over occupied slots) + demotion state.
         self.spec_accept_ema: Optional[float] = None
         self._chunks_since_spec = 0
-        # Per-chunk mode log (True = speculative chunk) for tests/metrics;
-        # bounded so a long-running server doesn't grow it without limit.
+        # Per-chunk mode log (True = speculative chunk) + chosen draft depth
+        # (0 = plain) for tests/metrics; bounded so a long-running server
+        # doesn't grow them without limit.
         self.spec_mode_log: List[bool] = []
+        self.spec_k_log: List[int] = []
         # Serving observability (read by the server's /metrics endpoint).
         self.tokens_delivered = 0  # tokens appended to requests, all modes
         self.chunks_run = 0
@@ -511,16 +586,25 @@ class ContinuousBatcher:
         self.trash_row = n_slots
         self.s_len = s_len
         # Occupancy-bounded cache window (kv_window): the live cache is kept
-        # at the smallest bucket covering max(occupied lengths) + one chunk
-        # of writes, so chunks never stream unwritten tail slots. Buckets
-        # are a static 3-element ladder (each a compiled chunk-program
-        # shape); _resize_kv pads/slices on transitions only.
+        # at the smallest bucket covering max(occupied lengths) + THIS
+        # chunk's worst-case writes, so chunks never stream unwritten tail
+        # slots. Buckets are a static ladder (each a compiled chunk-program
+        # shape); _resize_kv pads/slices on transitions only. Speculative
+        # engines get a separate PLAIN-advance floor bucket: a plain chunk
+        # advances by `chunk` positions, not the spec worst case (`slack`),
+        # so a spec engine running plain chunks (adaptive demotion) streams
+        # the same floor bucket a plain engine would instead of one
+        # inflated by spec slack it isn't using (r4 noise runs: floor 512
+        # vs 384 at the std workload).
         self.max_advance = slack
         self.window_buckets: Optional[tuple] = None
         if kv_window:
-            b0 = -(-(self.prompt_budget + slack + 1) // 128) * 128
-            mid = -(-(b0 + s_len) // 2 // 128) * 128
-            self.window_buckets = tuple(sorted({min(b0, s_len), min(mid, s_len), s_len}))
+            def bucket(n):
+                return min(-(-n // 128) * 128, s_len)
+            b0 = bucket(self.prompt_budget + chunk + 1)
+            b1 = bucket(self.prompt_budget + slack + 1)
+            mid = bucket(-(-(b1 + s_len) // 2))
+            self.window_buckets = tuple(sorted({b0, b1, mid, s_len}))
         self.host_lengths = np.zeros((n_slots,), np.int64)
         self.window_resizes = 0
         # kv_quant: store K/V int8 with per-(row,position,head) scales —
@@ -788,28 +872,67 @@ class ContinuousBatcher:
 
     # -- scheduling ----------------------------------------------------------
 
-    def _decide_spec_mode(self, n_occupied: int) -> bool:
-        """Per-chunk program choice for spec_adaptive (host state only:
-        occupancy + acceptance EMA — no device fetch)."""
+    def _min_accept(self, k: int) -> float:
+        """Acceptance EMA below which rung ``k`` loses to a plain chunk.
+
+        Empirically FLAT in k, not proportional (r4 draft-noise curve at 32
+        slots, cadence 16): k=8 wins at EMA 2.2 (1486 vs 1413 plain) and
+        loses at 1.4 (1215); k=4 loses even at EMA 2.5 (1285) — the deeper
+        verify amortizes the same weight stream over more accepted tokens,
+        so SHALLOW rungs have the HIGHER break-even. 2.0 is the shipped
+        k=8 bracket midpoint; fixed-k=4 configs want ~2.8 (explicit
+        override)."""
+        return 2.0 if self.spec_min_accept is None else self.spec_min_accept
+
+    def _decide_spec_mode(self, n_occupied: int) -> int:
+        """Per-chunk draft depth for spec_adaptive: the chosen k (0 = plain
+        chunk). Host state only (occupancy + acceptance EMA — no device
+        fetch). The ladder climbs a rung when acceptance nearly saturates
+        the current k (EMA >= 0.85*k: deeper drafts would still be
+        accepted), drops a rung when EMA is below the rung's break-even,
+        and falls back to plain — with exponentially backed-off probe
+        chunks — below the lowest rung's break-even."""
         if not self.spec_k:
-            return False
+            return 0
         if not self.spec_adaptive:
-            return True
-        if n_occupied > self.spec_max_slots:
-            # Wide batch: the k-position verify leaves the
-            # weight-streaming-bound regime (REPORT.md r3) — plain wins
-            # regardless of acceptance.
+            return self.spec_k
+        if (self.spec_max_slots is not None
+                and n_occupied > self.spec_max_slots):
+            # Optional wide-batch gate. r3 measured the k=4-at-chunk-cadence
+            # program losing at 32 occupied slots (hence the old default
+            # 24); the r4 k=8/cadence-16/window program WINS at full width
+            # (2453 vs 2038 std, 5296 vs 4021 long useful tok/s), so the
+            # shipped default is None (no gate) — set a bound only for
+            # custom shallow-k or wider-than-32-slot configs.
             self._chunks_since_spec += 1
-            return False
+            self._probing = False
+            return 0
+        k = self.spec_ks[self._spec_rung]
+        ema = self.spec_accept_ema
+        if ema is not None and ema < self._min_accept(k):
+            if self._spec_rung > 0:
+                # Shallower verify has a lower break-even: step down and
+                # re-measure (EMA reset — it was measured at the old k).
+                self._spec_rung -= 1
+                self.spec_accept_ema = None
+                return self.spec_ks[self._spec_rung]
+            # Below the lowest rung's break-even: plain, probing on a
+            # backed-off schedule — the workload's n-gram structure drifts.
+            self._chunks_since_spec += 1
+            if self._chunks_since_spec >= self._probe_interval:
+                self._probing = True
+                return k
+            return 0
         if (
-            self.spec_accept_ema is not None
-            and self.spec_accept_ema < self.spec_min_accept
+            ema is not None
+            and self._spec_rung + 1 < len(self.spec_ks)
+            and ema >= 0.85 * k
         ):
-            # Acceptance too low for the verify overhead: plain, but probe
-            # periodically — the workload (and its n-gram structure) drifts.
-            self._chunks_since_spec += 1
-            return self._chunks_since_spec >= self.spec_probe_every
-        return True
+            # Near-saturated: deeper drafts would still be accepted.
+            self._spec_rung += 1
+            self.spec_accept_ema = None
+            return self.spec_ks[self._spec_rung]
+        return k
 
     def _fill_slots(self) -> None:
         joiners = []
@@ -881,11 +1004,14 @@ class ContinuousBatcher:
         n_occupied = sum(1 for r in self.slot_req if r is not None)
         occupied = jnp.asarray(
             np.array([r is not None for r in self.slot_req] + [False]))
-        use_spec = self._decide_spec_mode(n_occupied)
+        k_chunk = self._decide_spec_mode(n_occupied)
+        use_spec = k_chunk > 0
         if self.spec_k:
             self.spec_mode_log.append(use_spec)
+            self.spec_k_log.append(k_chunk)
             if len(self.spec_mode_log) > 8192:
                 del self.spec_mode_log[:4096]
+                del self.spec_k_log[:4096]
         self.chunks_run += 1
 
         if self.window_buckets:
@@ -897,7 +1023,7 @@ class ContinuousBatcher:
             occ = [int(self.host_lengths[i]) for i in range(self.n_slots)
                    if self.slot_req[i] is not None]
             advance = (
-                self.spec_chunk * self.spec_k + self.spec_k if use_spec
+                self.spec_chunk * k_chunk + k_chunk if use_spec
                 else self.chunk
             )
             need = (max(occ) if occ else 0) + advance + 1
@@ -907,13 +1033,12 @@ class ContinuousBatcher:
                 self.window = target
                 self.window_resizes += 1
         if use_spec:
-            self._chunks_since_spec = 0
             (toks, counts, self.cur_tok, self.cache, self.lengths,
              self.ids_buf, self.buf_lens) = slot_decode_steps_spec(
                 self.params, self.cfg, self.cur_tok, self.cache, self.lengths,
                 self.temps, self.topps, sub, self.spec_chunk, self.ids_buf,
-                self.buf_lens, self.spec_k, self.spec_ngram, self.slot_lora,
-                occupied=occupied,
+                self.buf_lens, k_chunk, self.spec_ngram, self.slot_lora,
+                occupied=occupied, draft_noise=self.draft_noise,
             )
             packed = jnp.concatenate([counts[:, None], toks], axis=1)
         elif self.spec_k:
@@ -951,10 +1076,24 @@ class ContinuousBatcher:
             if occ:
                 rate = float(
                     np.sum(counts_np[occ])) / (self.spec_chunk * len(occ))
-                self.spec_accept_ema = (
-                    rate if self.spec_accept_ema is None
-                    else 0.7 * self.spec_accept_ema + 0.3 * rate
-                )
+                if self._probing:
+                    # Probe outcome: resume speculating on success, double
+                    # the probe interval (up to 8x) on failure.
+                    self._probing = False
+                    self._chunks_since_spec = 0
+                    self.spec_accept_ema = rate
+                    if rate >= self._min_accept(k_chunk):
+                        self._probe_interval = self.spec_probe_every
+                    else:
+                        self._probe_interval = min(
+                            self._probe_interval * 2,
+                            8 * self.spec_probe_every)
+                else:
+                    self._chunks_since_spec = 0
+                    self.spec_accept_ema = (
+                        rate if self.spec_accept_ema is None
+                        else 0.7 * self.spec_accept_ema + 0.3 * rate
+                    )
         else:
             toks_np = packed_np
             counts_np = np.full((toks_np.shape[0],), self.chunk, np.int32)

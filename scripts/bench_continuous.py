@@ -55,12 +55,23 @@ def main():
     ap.add_argument("--spec_adaptive", action="store_true",
                     help="with --spec_k: per-chunk spec/plain choice from "
                          "occupancy + acceptance EMA")
-    ap.add_argument("--spec_max_slots", type=int, default=24)
+    ap.add_argument("--spec_ks", type=str, default=None,
+                    help="comma-separated draft-depth ladder (e.g. '4,8'); "
+                         "requires --spec_adaptive. Mutually exclusive "
+                         "with --spec_k (server.py resolves precedence "
+                         "differently — refusing both avoids a silently "
+                         "divergent deployed config)")
+    ap.add_argument("--spec_max_slots", type=int, default=None)
     ap.add_argument("--spec_chunk", type=int, default=None,
                     help="verify iterations per SPECULATIVE chunk (default: "
                          "same as --chunk; adaptive engines want 8 so spec "
                          "chunks run at speculation's winning cadence while "
                          "plain chunks keep --chunk)")
+    ap.add_argument("--draft_noise", type=float, default=0.0,
+                    help="corrupt this fraction of draft tokens on-device "
+                         "(rejected by verification — streams stay exact). "
+                         "Emulates low real-text n-gram acceptance to "
+                         "measure the adaptive engine's degradation floor")
     ap.add_argument("--kv_quant", action="store_true",
                     help="int8 KV cache (per-row scales)")
     ap.add_argument("--kv_window", action="store_true",
@@ -76,6 +87,8 @@ def main():
                          "coalescing baseline and its batch-shape compiles "
                          "— the width sweep reuses one baseline)")
     args = ap.parse_args()
+    if args.spec_ks and args.spec_k:
+        ap.error("--spec_ks and --spec_k are mutually exclusive")
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()
@@ -123,9 +136,13 @@ def main():
             params, cfg, proc, n_slots=args.n_slots,
             prompt_budget=budget_prompt,
             max_new_tokens=max_new, chunk=args.chunk, cache_dtype=dtype,
-            spec_k=args.spec_k, spec_adaptive=args.spec_adaptive,
+            spec_k=0 if args.spec_ks else args.spec_k,
+            spec_ks=(tuple(int(x) for x in args.spec_ks.split(","))
+                     if args.spec_ks else None),
+            spec_adaptive=args.spec_adaptive,
             spec_max_slots=args.spec_max_slots, spec_chunk=args.spec_chunk,
             kv_quant=args.kv_quant, kv_window=args.kv_window,
+            draft_noise=args.draft_noise,
         )
         for p, im, b in zip(prompts, images, budgets):
             eng.submit(p, im, max_new_tokens=b)
@@ -139,7 +156,7 @@ def main():
     wall_c, eng = run_continuous()
     agg_c = useful / wall_c
     log(f"continuous: {wall_c:.2f}s -> {agg_c:.1f} useful tok/s aggregate")
-    if args.spec_k and eng.spec_verifies:
+    if (args.spec_k or args.spec_ks) and eng.spec_verifies:
         log(f"  spec acceptance: {eng.spec_emitted}/{eng.spec_verifies} = "
             f"{eng.spec_emitted / eng.spec_verifies:.3f} tokens/verify")
 
@@ -178,8 +195,12 @@ def main():
         "coalesced_agg_tok_s": round(agg_w, 1) if agg_w == agg_w else None,
         "speedup": round(agg_c / agg_w, 3) if agg_w == agg_w else None,
     }
-    out["spec_k"] = args.spec_k
-    if args.spec_k and eng.spec_verifies:
+    out["spec_k"] = eng.spec_k
+    if args.spec_ks:
+        out["spec_ks"] = list(eng.spec_ks)
+        out["spec_k_chunks"] = {
+            str(k): eng.spec_k_log.count(k) for k in eng.spec_ks}
+    if (args.spec_k or args.spec_ks) and eng.spec_verifies:
         out["spec_tokens_per_verify"] = round(
             eng.spec_emitted / eng.spec_verifies, 3)
     if args.spec_adaptive:
@@ -201,10 +222,19 @@ def main():
         tag += f"_s{args.n_slots}c{args.chunk}"
     if args.n_req != 32:
         tag += f"_r{args.n_req}"
-    if args.spec_k:
+    if args.spec_ks:
+        tag += "_specL" + args.spec_ks.replace(",", "-") + "a"
+    elif args.spec_k:
         tag += f"_spec{args.spec_k}"
         if args.spec_adaptive:
             tag += "a"
+    if args.spec_ks or args.spec_k:
+        if args.spec_chunk and args.spec_chunk != args.chunk:
+            out["spec_chunk"] = args.spec_chunk
+            tag += f"v{args.spec_chunk}"
+        if args.draft_noise:
+            out["draft_noise"] = args.draft_noise
+            tag += f"_dn{int(args.draft_noise * 100)}"
     if args.kv_quant:
         tag += "_kvq"
     if args.kv_window:

@@ -389,8 +389,8 @@ class ContinuousRunner:
                  max_new_cap: int = 256, prompt_extra=(64,),
                  lora_rank=None, adapters=None, prefill_cache=0,
                  queue_depth: int = 64, deadline_s=None, spec_k: int = 0,
-                 spec_adaptive: bool = True, spec_max_slots: int = 24,
-                 spec_chunk=None,
+                 spec_adaptive: bool = True, spec_max_slots=None,
+                 spec_chunk=None, spec_ks=None,
                  kv_quant: bool = False, kv_window: bool = False,
                  metrics: Metrics = None):
         from paligemma_tpu.continuous import ContinuousBatcher
@@ -410,13 +410,17 @@ class ContinuousRunner:
             lora_rank=lora_rank,
             prefill_cache_size=prefill_cache,
             spec_k=spec_k,
+            spec_ks=spec_ks,
             spec_adaptive=spec_adaptive,
             spec_max_slots=spec_max_slots,
-            # Adaptive default: spec chunks at speculation's winning cadence
-            # (chunk/k verify iterations ~= the same token budget per chunk)
-            # while plain chunks keep the peak `chunk` cadence.
+            # Adaptive default: spec chunks at the measured-best verify
+            # cadence — chunk/2 iterations (16 at the 32-step peak; the r4
+            # cadence sweep: 8→1744.6, 16→1944.4, 24→1846, 32→1766.7 useful
+            # tok/s for k=4, same peak shape for k=8) — while plain chunks
+            # keep the full `chunk` cadence.
             spec_chunk=spec_chunk or (
-                max(1, chunk // spec_k) if (spec_k and spec_adaptive) else None
+                max(1, chunk // 2)
+                if ((spec_k or spec_ks) and spec_adaptive) else None
             ),
             kv_quant=kv_quant,
             kv_window=kv_window,
@@ -723,13 +727,20 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None,
                 )
                 if b.spec_k:
                     log = b.spec_mode_log
+                    klog = b.spec_k_log
                     m.update(
                         spec_k=b.spec_k,
+                        spec_ks=list(b.spec_ks),
+                        spec_rung_k=b.spec_ks[b._spec_rung],
                         spec_adaptive=b.spec_adaptive,
                         spec_verifies=b.spec_verifies,
                         spec_emitted=b.spec_emitted,
                         spec_chunks=sum(log),
                         plain_chunks=len(log) - sum(log),
+                        spec_k_chunks={
+                            str(k): sum(1 for x in klog if x == k)
+                            for k in b.spec_ks
+                        },
                     )
                     if b.spec_accept_ema is not None:
                         m["spec_accept_ema"] = round(b.spec_accept_ema, 3)
@@ -906,6 +917,27 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None,
     return Handler
 
 
+def _spec_config(args):
+    """Resolve --spec_k / --spec_ks into (spec_k, spec_ks) engine params.
+
+    --spec_k given: a single fixed draft depth (0 disables speculation;
+    1 is rejected — it would silently serve plain at the plain peak).
+    Otherwise the --spec_ks ladder — adaptive engines get the full rung
+    list; with --spec_adaptive off the deepest rung runs statically (a
+    multi-rung ladder needs the adaptive policy to pick the rung)."""
+    if args.spec_k is not None:
+        if args.spec_k == 1:
+            raise SystemExit(
+                "--spec_k must be 0 (off) or >= 2 (1+ draft tokens)")
+        return args.spec_k, None
+    ks = tuple(sorted({int(x) for x in args.spec_ks.split(",") if x.strip()}))
+    if not ks:
+        return 0, None
+    if args.spec_adaptive != "on":
+        return ks[-1], None
+    return 0, ks
+
+
 def _kv_window_enabled(args) -> bool:
     """Resolve --kv_window {on,off,auto}: 'auto' enables the occupancy-
     bounded cache window exactly when adaptive speculation is active, where
@@ -913,7 +945,8 @@ def _kv_window_enabled(args) -> bool:
     """
     if args.kv_window == "on":
         return True
-    return (args.kv_window == "auto" and args.spec_k >= 2
+    spec_k, spec_ks = _spec_config(args)
+    return (args.kv_window == "auto" and bool(spec_k or spec_ks)
             and args.spec_adaptive == "on")
 
 
@@ -981,26 +1014,39 @@ def main(argv=None):
                    help="per-request wall-clock deadline; exceeding it "
                         "evicts the request (decode slot freed at the next "
                         "chunk boundary) with a 504; 0 disables")
-    p.add_argument("--spec_k", type=int, default=4,
+    p.add_argument("--spec_k", type=int, default=None,
                    help="continuous mode, >=2: per-slot n-gram speculative "
-                        "decoding — greedy requests emit up to k exact "
-                        "tokens per verify at the workload's acceptance "
-                        "rate; sampled slots draw the exact plain-sampling "
-                        "distribution. Default 4 WITH --spec_adaptive on: "
-                        "measured 1651.9 useful tok/s at 32 slots vs 1413.4 "
-                        "plain (REPORT.md round 4); low acceptance demotes "
-                        "to plain per chunk, so the floor is the plain "
-                        "peak. 0 disables.")
+                        "decoding as a SINGLE fixed draft depth — greedy "
+                        "requests emit up to k exact tokens per verify at "
+                        "the workload's acceptance rate; sampled slots draw "
+                        "the exact plain-sampling distribution. Default: "
+                        "unset, which ships the --spec_ks ladder instead. "
+                        "0 disables speculation entirely.")
+    p.add_argument("--spec_ks", type=str, default="8",
+                   help="continuous mode with --spec_adaptive: the "
+                        "draft-depth LADDER — comma-separated ascending k "
+                        "rungs the adaptive policy may run. Default '8' "
+                        "(a single rung): measured 2273-2492/4922-5296 "
+                        "useful tok/s std/long at 32 slots vs 1413/1877 "
+                        "plain, and k=8 "
+                        "dominates k=4 at every measured acceptance, so "
+                        "multi-rung ladders only add rung-oscillation "
+                        "cost (REPORT.md round 4). Low acceptance demotes "
+                        "to plain chunks (break-even EMA 2.0) with "
+                        "exponentially backed-off probes, so the floor is "
+                        "the plain peak. Ignored when --spec_k is given")
     p.add_argument("--spec_adaptive", choices=["on", "off"], default="on",
                    help="with --spec_k: choose per chunk between the "
                         "speculative and plain programs from occupancy + "
                         "acceptance EMA (spec wins at narrow widths, plain "
                         "at the 32-slot peak — REPORT.md); off = always "
                         "speculate")
-    p.add_argument("--spec_max_slots", type=int, default=24,
+    p.add_argument("--spec_max_slots", type=int, default=None,
                    help="adaptive speculation: occupied-slot count above "
-                        "which chunks run the plain program (default 24, "
-                        "the measured crossover)")
+                        "which chunks run the plain program (default: no "
+                        "gate — the shipped k=8 verify wins at full "
+                        "32-slot width, REPORT.md r4; set a bound for "
+                        "custom shallow-k or wider-slot configs)")
     p.add_argument("--spec_chunk", type=int, default=None,
                    help="verify iterations per SPECULATIVE chunk (default: "
                         "chunk/spec_k under --spec_adaptive, else chunk)")
@@ -1074,6 +1120,7 @@ def main(argv=None):
                 scale = float(acfg.get("lora_alpha", r)) / float(acfg.get("r", r))
             adapters[name] = (tree, scale)
             lora_rank = max(lora_rank or 0, r)
+        spec_k_arg, spec_ks_arg = _spec_config(args)
         batcher = ContinuousRunner(
             engine, n_slots=args.n_slots, chunk=args.chunk,
             max_new_cap=args.max_new_cap,
@@ -1084,7 +1131,8 @@ def main(argv=None):
             # Deadline armed AFTER warm-up: the warm-up requests themselves
             # pay multi-minute remote compiles and must not be evicted.
             deadline_s=None,
-            spec_k=args.spec_k,
+            spec_k=spec_k_arg,
+            spec_ks=spec_ks_arg,
             spec_adaptive=args.spec_adaptive == "on",
             spec_max_slots=args.spec_max_slots,
             spec_chunk=args.spec_chunk,

@@ -98,6 +98,27 @@ def test_spec_engine_sampled_near_zero_temp_is_greedy(setup):
     assert eng.spec_verifies > 0
 
 
+def test_draft_noise_streams_exact_and_acceptance_drops(setup):
+    """``draft_noise`` (the real-text acceptance emulator) may only lower
+    ACCEPTANCE — never change a stream: verification rejects corrupted
+    drafts. At noise 1.0 every draft position is a uniform-random vocab id,
+    so acceptance collapses toward 1 token/verify while greedy output stays
+    exactly the plain engine's."""
+    params, cfg, proc, prompts, images = setup
+    subs = [((p, im), dict(max_new_tokens=m))
+            for (p, im, m) in zip(prompts, images, [9, 7, 5, 8])]
+    base, _ = run_engine(params, cfg, proc, subs, spec_k=0)
+    clean, eng_clean = run_engine(params, cfg, proc, subs, spec_k=4)
+    noisy, eng_noisy = run_engine(
+        params, cfg, proc, subs, spec_k=4, draft_noise=1.0)
+    assert noisy == base == clean, (noisy, base)
+    accept = eng_noisy.spec_emitted / eng_noisy.spec_verifies
+    accept_clean = eng_clean.spec_emitted / eng_clean.spec_verifies
+    # tiny-vocab random drafts still occasionally match; the bound is loose
+    # but must sit clearly below the clean run's acceptance.
+    assert accept < accept_clean, (accept, accept_clean)
+
+
 def test_spec_engine_multi_lora(setup):
     """Per-slot adapters compose with per-slot speculation: adapter and base
     greedy requests both stay identical to the plain-lora engine."""
@@ -163,6 +184,60 @@ def test_adaptive_low_acceptance_demotes_and_probes(setup):
         if mode:
             assert log[i - 2 : i] == [False, False], (i, log)
     assert eng.spec_accept_ema is not None
+
+
+def test_ladder_engine_identical_to_plain(setup):
+    """The draft-depth ladder (spec_ks) may change HOW MANY forwards run,
+    never a stream: every greedy request through a (2, 4) ladder engine
+    matches the plain engine, and every chunk's chosen depth is a rung (or
+    plain)."""
+    params, cfg, proc, prompts, images = setup
+    subs = [((p, im), dict(max_new_tokens=m))
+            for (p, im, m) in zip(prompts, images, [9, 5, 7, 8])]
+    base, _ = run_engine(params, cfg, proc, subs, spec_k=0)
+    lad, eng = run_engine(
+        params, cfg, proc, subs, spec_k=0, spec_ks=(2, 4),
+        spec_adaptive=True, spec_max_slots=2,
+    )
+    assert lad == base, (lad, base)
+    assert eng.spec_k == 4  # deepest rung sizes the buffers
+    assert eng.spec_k_log and set(eng.spec_k_log) <= {0, 2, 4}
+
+
+def test_ladder_policy_transitions(setup):
+    """Deterministic unit test of the rung policy (host logic only):
+    climb on near-saturated EMA, step down below the rung's break-even,
+    demote to plain from the lowest rung with exponential probe backoff,
+    and resume on a successful probe."""
+    params, cfg, proc, prompts, images = setup
+    eng = ContinuousBatcher(
+        params, cfg, proc, n_slots=2, chunk=4, cache_dtype=jnp.float32,
+        spec_ks=(4, 8), spec_adaptive=True, spec_max_slots=2,
+        spec_probe_every=2,
+    )
+    # Fresh engine: lowest rung, no EMA yet.
+    assert eng._decide_spec_mode(1) == 4
+    # Near-saturated at k=4 -> climb to 8; EMA resets for re-measurement.
+    eng.spec_accept_ema = 3.6  # >= 0.85 * 4
+    assert eng._decide_spec_mode(1) == 8
+    assert eng.spec_accept_ema is None
+    # Below the break-even (default flat 2.0) -> step down to 4, EMA reset.
+    eng.spec_accept_ema = 1.5
+    assert eng._decide_spec_mode(1) == 4
+    assert eng.spec_accept_ema is None
+    # Below break-even at the lowest rung -> plain, then a probe after
+    # spec_probe_every plain chunks.
+    eng.spec_accept_ema = 1.0
+    assert eng._decide_spec_mode(1) == 0
+    assert eng._decide_spec_mode(1) == 4 and eng._probing
+    # Failed probe doubles the interval (up to 8x).
+    eng._probing = False
+    eng._chunks_since_spec = 0
+    eng._probe_interval = 4
+    assert eng._decide_spec_mode(1) == 0
+    # Occupancy above spec_max_slots always forces plain.
+    eng.spec_accept_ema = 4.0
+    assert eng._decide_spec_mode(3) == 0
 
 
 def test_spec_engine_prefill_cache(setup):
