@@ -86,9 +86,16 @@ def main():
                     help="measure only the continuous engine (skip the "
                          "coalescing baseline and its batch-shape compiles "
                          "— the width sweep reuses one baseline)")
+    ap.add_argument("--trace", default=None,
+                    help="profile the timed continuous run into this dir "
+                         "(jax.profiler xplane) and print device-busy vs "
+                         "wall — the serving-phase analog of "
+                         "trace_decode.py; implies --skip_coalesced")
     args = ap.parse_args()
     if args.spec_ks and args.spec_k:
         ap.error("--spec_ks and --spec_k are mutually exclusive")
+    if args.trace:
+        args.skip_coalesced = True
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()
@@ -153,7 +160,11 @@ def main():
     # compile pass (programs: bucketed prefill, insert, slot decode)
     wall_c, _ = run_continuous()
     log(f"continuous compile+run: {wall_c:.1f}s")
-    wall_c, eng = run_continuous()
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            wall_c, eng = run_continuous()
+    else:
+        wall_c, eng = run_continuous()
     agg_c = useful / wall_c
     log(f"continuous: {wall_c:.2f}s -> {agg_c:.1f} useful tok/s aggregate")
     if (args.spec_k or args.spec_ks) and eng.spec_verifies:
@@ -242,6 +253,32 @@ def main():
     if args.budget_set != "std":
         out["budget_set"] = args.budget_set
         tag += f"_{args.budget_set}"
+    if args.trace:
+        # Device-busy vs wall for the WHOLE serving run: how much of the
+        # engine's wall clock is device work (prefill + decode + inserts)
+        # vs host gaps (scheduling, fetches, preprocessing not hidden by
+        # the join overlap). Per-op table goes to stderr via analyze().
+        import os as _os
+        sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from trace_decode import analyze  # noqa: PLC0415
+
+        summary = analyze(args.trace, chunks=1)
+        for pname, plane in summary.get("planes", {}).items():
+            if "TPU" in pname or "tpu" in pname:
+                # "XLA Modules" is the one non-overlapping line (one event
+                # per executed program); the Ops lines nest fusions and
+                # double-count, so summing lines overstates busy ~3x.
+                lines = plane["lines"]
+                mod = lines.get("XLA Modules")
+                busy = (mod["busy_ms"] if mod
+                        else max(l["busy_ms"] for l in lines.values()))
+                out["device_busy_ms"] = round(busy, 1)
+                out["device_span_ms"] = round(plane["span_ms"], 1)
+                out["wall_ms"] = round(wall_c * 1000, 1)
+                log(f"TRACE {pname}: busy {busy:.0f} ms over span "
+                    f"{plane['span_ms']:.0f} ms, wall {wall_c*1000:.0f} ms "
+                    f"-> device idle {wall_c*1000 - busy:.0f} ms")
+        tag += "_traced"
     name = f"continuous_bench{tag}.json"
     with open(name, "w") as f:
         json.dump(out, f, indent=2)
