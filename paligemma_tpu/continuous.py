@@ -26,7 +26,8 @@ from __future__ import annotations
 
 import functools
 import itertools
-from collections import deque
+import time
+from collections import defaultdict, deque
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -568,6 +569,12 @@ class ContinuousBatcher:
         # Serving observability (read by the server's /metrics endpoint).
         self.tokens_delivered = 0  # tokens appended to requests, all modes
         self.chunks_run = 0
+        # Host-phase wall accounting (seconds, cumulative): where the
+        # engine thread spends time BETWEEN device work. The r4 serving
+        # trace showed the device idle ~50% of wall at the 32-slot peak
+        # (device_busy 3.58 s / wall 7.37 s) — these timers name the gap.
+        self.host_t: Dict[str, float] = defaultdict(float)
+        self.join_groups = 0
         # Speculative chunks run `spec_chunk` verify iterations, each
         # advancing a row by up to spec_k tokens and writing spec_k entries
         # past its accepted length — size the cache for the worst case of
@@ -788,6 +795,7 @@ class ContinuousBatcher:
         into the trash row. First tokens stay on device until the next chunk
         boundary (``_pending_first``).
         """
+        t_join0 = time.perf_counter()
         g = len(joiners)
         g_b = 1 if g == 1 else self.n_slots
         reqs = [r for _, r in joiners]
@@ -812,11 +820,13 @@ class ContinuousBatcher:
             # Tokenize to the group's natural length, then round up to the
             # smallest prompt bucket that covers it (compiled shapes stay a
             # small static set: budgets x batch buckets).
+            t_pp0 = time.perf_counter()
             ids, valid, pix, _ = serving.pad_batch(
                 self.processor,
                 [r.prompt for r in reqs], [r.image for r in reqs],
                 batch_bucket=g_b,
             )
+            self.host_t["preprocess"] += time.perf_counter() - t_pp0
             t = ids.shape[1]
             bucket = next((b for b in self.prompt_budgets if b >= t), None)
             if bucket is None:
@@ -826,14 +836,22 @@ class ContinuousBatcher:
                 )
             if t < bucket:
                 ids = np.pad(ids, ((0, 0), (0, bucket - t)))
+            t_pf0 = time.perf_counter()
             temp = gemma.init_cache(
                 self.cfg.text_config, g_b, bucket, self.kv_dtype
             )
+            self.host_t["init_cache"] += time.perf_counter() - t_pf0
+            t_h2d0 = time.perf_counter()
+            pix_dev = jnp.asarray(pix, self.cache_dtype)
+            ids_dev = jnp.asarray(ids)
+            valid_dev = jnp.asarray(valid)
+            self.host_t["h2d"] += time.perf_counter() - t_h2d0
+            t_pf0 = time.perf_counter()
             logits, temp = serving.batched_prefill(
-                self.params, self.cfg, jnp.asarray(ids),
-                jnp.asarray(pix, self.cache_dtype), jnp.asarray(valid), temp,
+                self.params, self.cfg, ids_dev, pix_dev, valid_dev, temp,
                 lora=grouped,
             )
+            self.host_t["prefill_dispatch"] += time.perf_counter() - t_pf0
             if key_c is not None:
                 # Device-resident entry (temp K/V + last logits); the insert
                 # only READS from them, so reuse across joins is safe.
@@ -845,6 +863,7 @@ class ContinuousBatcher:
         for i, (_, req) in enumerate(joiners):
             req_temps[i] = req.temperature
             req_topps[i] = req.top_p
+        t_ins0 = time.perf_counter()
         self.key, sub = jax.random.split(self.key)
 
         slots = np.full((g_b,), self.trash_row, np.int32)
@@ -869,6 +888,9 @@ class ContinuousBatcher:
         for i, (slot, _) in enumerate(joiners):
             self.host_lengths[slot] = int(valid[i])
         self._pending_first.append((joiners, first))
+        self.host_t["insert_dispatch"] += time.perf_counter() - t_ins0
+        self.host_t["join_total"] += time.perf_counter() - t_join0
+        self.join_groups += 1
 
     # -- scheduling ----------------------------------------------------------
 
@@ -983,6 +1005,7 @@ class ContinuousBatcher:
         join run ahead of the chunk, since there is nothing to overlap.
 
         Returns False when there is nothing left to do."""
+        t_step0 = time.perf_counter()
         had_active = any(r is not None for r in self.slot_req)
         if not had_active:
             self._fill_slots()
@@ -1014,6 +1037,7 @@ class ContinuousBatcher:
                 del self.spec_k_log[:4096]
         self.chunks_run += 1
 
+        t_disp0 = time.perf_counter()
         if self.window_buckets:
             # Occupancy-bounded window: smallest bucket covering every
             # occupied slot's (host-tracked) length plus this chunk's worst-
@@ -1060,9 +1084,16 @@ class ContinuousBatcher:
                 occupied=occupied,
             )
             packed = toks
+        self.host_t["decode_dispatch"] += time.perf_counter() - t_disp0
         if had_active:
             self._fill_slots()  # overlapped: runs while the chunk decodes
+        t_fetch0 = time.perf_counter()
         packed_np = np.asarray(packed)  # one host fetch per chunk
+        # NB: "fetch" includes waiting out whatever device work is still
+        # queued (the chunk + any overlapped join programs) plus the ~25 ms
+        # tunnel round-trip — it is device-overlap time, not pure host time.
+        self.host_t["fetch"] += time.perf_counter() - t_fetch0
+        t_dist0 = time.perf_counter()
         if use_spec:
             counts_np, toks_np = packed_np[:, 0], packed_np[:, 1:]
             # Useful-acceptance accounting: verifies include every iteration
@@ -1152,6 +1183,8 @@ class ContinuousBatcher:
                 n = req.notified
                 req.notified = len(req.tokens)
                 req.on_tokens(req.tokens[n:], req.done)
+        self.host_t["distribute"] += time.perf_counter() - t_dist0
+        self.host_t["step_total"] += time.perf_counter() - t_step0
         return True
 
     def run(self) -> List[Request]:

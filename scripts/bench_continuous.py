@@ -207,6 +207,13 @@ def main():
         "speedup": round(agg_c / agg_w, 3) if agg_w == agg_w else None,
     }
     out["spec_k"] = eng.spec_k
+    # Host-phase wall decomposition (seconds, cumulative over the timed
+    # run): names where the engine thread spends time between device work.
+    # "fetch" overlaps device execution (it waits out the queued chunk);
+    # every other phase is host time the device may be idle for.
+    out["host_t"] = {k: round(v, 3) for k, v in sorted(eng.host_t.items())}
+    out["chunks_run"] = eng.chunks_run
+    out["join_groups"] = eng.join_groups
     if args.spec_ks:
         out["spec_ks"] = list(eng.spec_ks)
         out["spec_k_chunks"] = {
