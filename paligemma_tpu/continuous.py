@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import threading
 import time
 from collections import defaultdict, deque
 from typing import Any, Dict, List, Optional, Sequence
@@ -365,6 +366,12 @@ class Request:
         self.tokens: List[int] = []
         self.done = False
         self.error: Optional[Exception] = None
+        # Prefetch pipeline state: (ids (t,), valid, device pixels) once the
+        # worker (or an inline fallback) preprocessed this request; _claimed
+        # marks in-flight preprocessing so two threads never process one
+        # request (guarded by the engine's _prep_cv lock).
+        self.prep = None
+        self._claimed = False
         # Streaming hook: called from the engine-driving thread with
         # (new_tokens, done) once per chunk that touched this request.
         self.on_tokens = None
@@ -441,6 +448,12 @@ class ContinuousBatcher:
         max(occupied lengths) + one chunk's writes, so decode chunks stop
         streaming unwritten tail slots; pads/slices only on bucket
         transitions. EXACT: masked attention never read the dropped tail.
+      prefetch: run request preprocessing (tokenize + image pipeline +
+        per-request pixel h2d) on a worker thread while the engine thread
+        is blocked in per-chunk fetch RPCs, so joins assemble device-
+        resident pixels instead of paying ~140 ms/wave of host preprocess
+        + bulk h2d on the critical path (r4 host_t decomposition).
+        Numerics identical to inline preprocessing; default on.
       lora_rank: enable multi-tenant LoRA serving — every slot can carry a
         different registered adapter (``register_adapter`` + ``submit(...,
         adapter=name)``). Adapters of rank <= lora_rank share one compiled
@@ -468,6 +481,7 @@ class ContinuousBatcher:
         seed: int = 0,
         lora_rank: Optional[int] = None,
         prefill_cache_size: int = 0,
+        prefetch: bool = True,
         spec_k: int = 0,
         spec_ngram: int = 3,
         spec_chunk: Optional[int] = None,
@@ -684,6 +698,27 @@ class ContinuousBatcher:
         self._prefill_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self.prefill_cache_hits = 0
 
+        # Prefetch pipeline: a worker thread preprocesses queued requests
+        # (tokenize + PIL + per-request pixel h2d) while the engine thread is
+        # blocked in the per-chunk fetch RPC, so join groups assemble from
+        # device-resident pixels instead of paying ~50 ms host preprocess +
+        # ~90 ms of 19 MB fp32 h2d per 32-request wave on the engine's
+        # critical path (the r4 host_t decomposition). Numerics are identical
+        # to the inline path: the same per-sample processor call, the same
+        # f32 -> cache_dtype conversion (elementwise convert-then-stack ==
+        # stack-then-convert). The thread starts lazily at first submit.
+        self.prefetch = bool(prefetch)
+        # HF fast tokenizers are not re-entrant ("Already borrowed"): the
+        # worker and an engine-thread inline preprocess may target different
+        # requests concurrently, so the processor call itself is locked.
+        self._proc_lock = threading.Lock()
+        self._prep_cv = threading.Condition()
+        self._prep_stop = False
+        self._prefetch_thread: Optional[threading.Thread] = None
+        # Bound how far ahead the worker runs (device-resident pixels are
+        # ~300 KB each at 224 bf16 — cap the HBM exposure to ~2 waves).
+        self._prep_lookahead = 2 * n_slots
+
     # -- request lifecycle ---------------------------------------------------
 
     def register_adapter(self, name: str, adapter, scale: float = 1.0) -> None:
@@ -761,7 +796,10 @@ class ContinuousBatcher:
                 f"max_new_tokens {req.max_new_tokens} exceeds the engine budget "
                 f"{self.max_new_tokens} (cache is sized statically)"
             )
-        self.pending.append(req)
+        self._ensure_prefetch()
+        with self._prep_cv:
+            self.pending.append(req)
+            self._prep_cv.notify_all()
         return req
 
     def _finish(self, slot: int) -> None:
@@ -786,6 +824,88 @@ class ContinuousBatcher:
         h.update(f"{getattr(im, 'mode', '')}{getattr(im, 'size', '')}".encode())
         h.update(im.tobytes() if hasattr(im, "tobytes") else np.asarray(im).tobytes())
         return h.hexdigest()
+
+    def _preprocess_one(self, req: Request):
+        """Per-request host preprocessing + pixel h2d.
+
+        Exactly the inline path's work (``serving.pad_batch`` also calls the
+        processor once per sample), factored per-request so the prefetch
+        worker can run it off the engine thread. The processor call is
+        serialized via _prep_cv's claim protocol (HF fast tokenizers are not
+        re-entrant), and the pixel h2d converts to cache_dtype up front —
+        joins then stack device arrays instead of shipping a 19 MB wave."""
+        with self._proc_lock:
+            out = self.processor(text=[req.prompt], images=[req.image])
+        ids = np.asarray(out["input_ids"][0], np.int32)
+        pix = jnp.asarray(out["pixel_values"][0], self.cache_dtype)
+        return ids, len(ids), pix
+
+    def _prefetch_loop(self) -> None:
+        while True:
+            req = None
+            with self._prep_cv:
+                while not self._prep_stop:
+                    ahead = 0
+                    for r in self.pending:
+                        if r.prep is not None or r._claimed:
+                            ahead += 1
+                            continue
+                        if r.cancelled:
+                            continue
+                        if ahead < self._prep_lookahead:
+                            req = r
+                        break
+                    if req is not None:
+                        req._claimed = True
+                        break
+                    self._prep_cv.wait(timeout=0.05)
+                if self._prep_stop:
+                    return
+            try:
+                prep = self._preprocess_one(req)
+            except Exception:
+                # A bad image/prompt fails at join time on the engine thread
+                # (which owns per-request error handling); never kill the
+                # worker.
+                prep = None
+            with self._prep_cv:
+                req.prep = prep
+                req._claimed = False
+                self._prep_cv.notify_all()
+
+    def _ensure_prefetch(self) -> None:
+        if not self.prefetch or self._prefetch_thread is not None:
+            return
+        self._prefetch_thread = threading.Thread(
+            target=self._prefetch_loop, daemon=True,
+            name="paligemma-prefetch",
+        )
+        self._prefetch_thread.start()
+
+    def close(self) -> None:
+        """Stop the prefetch worker (idempotent; daemon thread dies with the
+        process anyway — this is for eager cleanup in tests/servers)."""
+        with self._prep_cv:
+            self._prep_stop = True
+            self._prep_cv.notify_all()
+
+    def _take_prep(self, req: Request):
+        """The joining thread's view of a request's preprocessing: use the
+        worker's result when ready, wait briefly if it is mid-flight, else
+        compute inline (also the prefetch=False path)."""
+        with self._prep_cv:
+            while req._claimed:
+                self._prep_cv.wait(timeout=0.05)
+            if req.prep is not None:
+                return req.prep
+            req._claimed = True  # inline: block the worker off this request
+        try:
+            prep = self._preprocess_one(req)
+        finally:
+            with self._prep_cv:
+                req._claimed = False
+                self._prep_cv.notify_all()
+        return prep
 
     def _join_group(self, joiners: List) -> None:
         """One bucketed prefill + ONE scatter insert for a whole join group.
@@ -817,32 +937,37 @@ class ContinuousBatcher:
             self._prefill_cache.move_to_end(key_c)
             self.prefill_cache_hits += 1
         else:
-            # Tokenize to the group's natural length, then round up to the
-            # smallest prompt bucket that covers it (compiled shapes stay a
-            # small static set: budgets x batch buckets).
+            # Per-request preprocessing (prefetched off-thread when the
+            # worker got to it; inline otherwise), then group assembly at
+            # the smallest prompt bucket covering the group (compiled
+            # shapes stay a small static set: budgets x batch buckets).
             t_pp0 = time.perf_counter()
-            ids, valid, pix, _ = serving.pad_batch(
-                self.processor,
-                [r.prompt for r in reqs], [r.image for r in reqs],
-                batch_bucket=g_b,
-            )
+            preps = [self._take_prep(r) for r in reqs]
             self.host_t["preprocess"] += time.perf_counter() - t_pp0
-            t = ids.shape[1]
+            # Pad rows repeat sample 0 (their scatter lands in the trash
+            # row), matching serving.pad_batch's batch_bucket semantics.
+            preps = preps + [preps[0]] * (g_b - g)
+            t = max(int(p[0].shape[0]) for p in preps)
             bucket = next((b for b in self.prompt_budgets if b >= t), None)
             if bucket is None:
                 raise ValueError(
                     f"prompt of {t} tokens exceeds the largest prompt budget "
                     f"{self.prompt_budget}"
                 )
-            if t < bucket:
-                ids = np.pad(ids, ((0, 0), (0, bucket - t)))
+            ids = np.zeros((g_b, bucket), np.int32)
+            valid = np.zeros((g_b,), np.int32)
+            for i, (row, v, _) in enumerate(preps):
+                ids[i, : row.shape[0]] = row
+                valid[i] = v
             t_pf0 = time.perf_counter()
             temp = gemma.init_cache(
                 self.cfg.text_config, g_b, bucket, self.kv_dtype
             )
             self.host_t["init_cache"] += time.perf_counter() - t_pf0
             t_h2d0 = time.perf_counter()
-            pix_dev = jnp.asarray(pix, self.cache_dtype)
+            # Pixels are already device-resident per request: one stack op,
+            # no bulk h2d on the engine thread.
+            pix_dev = jnp.stack([p[2] for p in preps], axis=0)
             ids_dev = jnp.asarray(ids)
             valid_dev = jnp.asarray(valid)
             self.host_t["h2d"] += time.perf_counter() - t_h2d0
@@ -956,11 +1081,19 @@ class ContinuousBatcher:
             return self.spec_ks[self._spec_rung]
         return k
 
+    def _pop_pending(self) -> Optional[Request]:
+        # The prefetch worker iterates ``pending`` under _prep_cv; all
+        # mutation goes through this lock.
+        with self._prep_cv:
+            return self.pending.popleft() if self.pending else None
+
     def _fill_slots(self) -> None:
         joiners = []
         for slot in range(self.n_slots):
-            while self.slot_req[slot] is None and self.pending:
-                req = self.pending.popleft()
+            while self.slot_req[slot] is None:
+                req = self._pop_pending()
+                if req is None:
+                    break
                 if req.cancelled:  # cancelled while queued: never join
                     req.done = True
                     self.completed.append(req)
@@ -1088,7 +1221,23 @@ class ContinuousBatcher:
         if had_active:
             self._fill_slots()  # overlapped: runs while the chunk decodes
         t_fetch0 = time.perf_counter()
-        packed_np = np.asarray(packed)  # one host fetch per chunk
+        # ONE host fetch per chunk, carrying the chunk's tokens AND every
+        # pending join group's first tokens: a d2h read costs ~25 ms flat
+        # over the tunnel even for ready data (CLAUDE.md), so per-group
+        # np.asarray(first) reads were ~200 ms/run at the serving peak.
+        if ready_first:
+            flat = [packed.reshape(-1)] + [
+                f.astype(jnp.int32).reshape(-1) for _, f in ready_first
+            ]
+            fetched = np.asarray(jnp.concatenate(flat))
+            packed_np = fetched[: packed.size].reshape(packed.shape)
+            first_np, off = [], packed.size
+            for _, f in ready_first:
+                first_np.append(fetched[off: off + f.size])
+                off += f.size
+        else:
+            packed_np = np.asarray(packed)
+            first_np = []
         # NB: "fetch" includes waiting out whatever device work is still
         # queued (the chunk + any overlapped join programs) plus the ~25 ms
         # tunnel round-trip — it is device-overlap time, not pure host time.
@@ -1139,8 +1288,7 @@ class ContinuousBatcher:
         # request's sequence, so process them first. A slot whose first token
         # already finished it (EOS / budget 1) is freed and its chunk tokens
         # discarded.
-        for joiners, first in ready_first:
-            vals = np.asarray(first)
+        for (joiners, _), vals in zip(ready_first, first_np):
             for (slot, req), val in zip(joiners, vals.tolist()):
                 if self.slot_req[slot] is not req:
                     continue  # join failed and was retried elsewhere
@@ -1167,14 +1315,22 @@ class ContinuousBatcher:
                 continue  # empty at dispatch, finished above, or re-joined
             if req not in touched:
                 touched.append(req)
-            for t in toks_np[slot][: counts_np[slot]].tolist():
-                req.tokens.append(int(t))
-                self.tokens_delivered += 1
-                if use_spec:
-                    self.spec_emitted += 1
-                if t == self.eos_token_id or len(req.tokens) >= req.max_new_tokens:
-                    self._finish(slot)
-                    break
+            # Vectorized take: stop at the first EOS or the request budget
+            # (same semantics as appending one token at a time — the EOS
+            # token itself is delivered; the r4 host_t decomposition put the
+            # per-token Python loop at ~27 ms/chunk at the serving peak).
+            vals = toks_np[slot][: counts_np[slot]]
+            n_take = min(vals.shape[0], req.max_new_tokens - len(req.tokens))
+            eos_idx = np.flatnonzero(vals[:n_take] == self.eos_token_id)
+            hit_eos = eos_idx.size > 0
+            if hit_eos:
+                n_take = int(eos_idx[0]) + 1
+            req.tokens.extend(vals[:n_take].tolist())
+            self.tokens_delivered += n_take
+            if use_spec:
+                self.spec_emitted += n_take
+            if hit_eos or len(req.tokens) >= req.max_new_tokens:
+                self._finish(slot)
 
         # Streaming hooks: one notification per request per chunk, from the
         # engine-driving thread.
