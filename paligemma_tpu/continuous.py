@@ -449,11 +449,12 @@ class ContinuousBatcher:
         streaming unwritten tail slots; pads/slices only on bucket
         transitions. EXACT: masked attention never read the dropped tail.
       prefetch: run request preprocessing (tokenize + image pipeline +
-        per-request pixel h2d) on a worker thread while the engine thread
-        is blocked in per-chunk fetch RPCs, so joins assemble device-
-        resident pixels instead of paying ~140 ms/wave of host preprocess
-        + bulk h2d on the critical path (r4 host_t decomposition).
-        Numerics identical to inline preprocessing; default on.
+        host-side cache-dtype pixel convert) on a worker thread while the
+        engine thread is blocked in per-chunk fetch RPCs, so joins stack
+        ready numpy pixels and ship ONE upload per group instead of paying
+        ~140 ms/wave of host preprocess on the critical path (r4 host_t
+        decomposition). Numerics identical to inline preprocessing;
+        default on.
       lora_rank: enable multi-tenant LoRA serving — every slot can carry a
         different registered adapter (``register_adapter`` + ``submit(...,
         adapter=name)``). Adapters of rank <= lora_rank share one compiled
@@ -699,12 +700,13 @@ class ContinuousBatcher:
         self.prefill_cache_hits = 0
 
         # Prefetch pipeline: a worker thread preprocesses queued requests
-        # (tokenize + PIL + per-request pixel h2d) while the engine thread is
-        # blocked in the per-chunk fetch RPC, so join groups assemble from
-        # device-resident pixels instead of paying ~50 ms host preprocess +
-        # ~90 ms of 19 MB fp32 h2d per 32-request wave on the engine's
-        # critical path (the r4 host_t decomposition). Numerics are identical
-        # to the inline path: the same per-sample processor call, the same
+        # (tokenize + PIL + host numpy f32 -> cache_dtype convert) while the
+        # engine thread is blocked in the per-chunk fetch RPC, so join
+        # groups stack ready numpy pixels and ship one ~2.4 MB bf16 upload
+        # per 32-request wave instead of ~50 ms host preprocess + 19 MB fp32
+        # h2d (or 32 per-request upload RPCs) on the engine's critical path
+        # (the r4 host_t decomposition). Numerics are identical to the
+        # inline path: the same per-sample processor call, the same
         # f32 -> cache_dtype conversion (elementwise convert-then-stack ==
         # stack-then-convert). The thread starts lazily at first submit.
         self.prefetch = bool(prefetch)
@@ -715,8 +717,8 @@ class ContinuousBatcher:
         self._prep_cv = threading.Condition()
         self._prep_stop = False
         self._prefetch_thread: Optional[threading.Thread] = None
-        # Bound how far ahead the worker runs (device-resident pixels are
-        # ~300 KB each at 224 bf16 — cap the HBM exposure to ~2 waves).
+        # Bound how far ahead the worker runs (host-resident prepped pixels
+        # are ~300 KB each at 224 bf16 — cap the RAM exposure to ~2 waves).
         self._prep_lookahead = 2 * n_slots
 
     # -- request lifecycle ---------------------------------------------------
@@ -826,18 +828,21 @@ class ContinuousBatcher:
         return h.hexdigest()
 
     def _preprocess_one(self, req: Request):
-        """Per-request host preprocessing + pixel h2d.
+        """Per-request host preprocessing (tokenize + image pipeline).
 
         Exactly the inline path's work (``serving.pad_batch`` also calls the
         processor once per sample), factored per-request so the prefetch
         worker can run it off the engine thread. The processor call is
         serialized via _prep_cv's claim protocol (HF fast tokenizers are not
-        re-entrant), and the pixel h2d converts to cache_dtype up front —
-        joins then stack device arrays instead of shipping a 19 MB wave."""
+        re-entrant). Pixels stay HOST-side, converted to cache_dtype in
+        numpy (ml_dtypes bf16 — half the upload bytes): the join then ships
+        ONE stacked array per group. Per-request ``jnp.asarray`` uploads
+        from the worker were 512 trickling ~6 ms dispatch RPCs per 256-req
+        run on the tunneled backend — pure host churn on a 1-core box."""
         with self._proc_lock:
             out = self.processor(text=[req.prompt], images=[req.image])
         ids = np.asarray(out["input_ids"][0], np.int32)
-        pix = jnp.asarray(out["pixel_values"][0], self.cache_dtype)
+        pix = np.asarray(out["pixel_values"][0]).astype(self.cache_dtype)
         return ids, len(ids), pix
 
     def _prefetch_loop(self) -> None:
@@ -965,9 +970,10 @@ class ContinuousBatcher:
             )
             self.host_t["init_cache"] += time.perf_counter() - t_pf0
             t_h2d0 = time.perf_counter()
-            # Pixels are already device-resident per request: one stack op,
-            # no bulk h2d on the engine thread.
-            pix_dev = jnp.stack([p[2] for p in preps], axis=0)
+            # ONE stacked cache-dtype upload for the whole group (pixels
+            # were host-converted by the prefetch worker): ~2.4 MB bf16 at
+            # g=32/224px, vs 32 separate upload RPCs.
+            pix_dev = jnp.asarray(np.stack([p[2] for p in preps], axis=0))
             ids_dev = jnp.asarray(ids)
             valid_dev = jnp.asarray(valid)
             self.host_t["h2d"] += time.perf_counter() - t_h2d0
@@ -1217,26 +1223,38 @@ class ContinuousBatcher:
                 occupied=occupied,
             )
             packed = toks
-        self.host_t["decode_dispatch"] += time.perf_counter() - t_disp0
-        if had_active:
-            self._fill_slots()  # overlapped: runs while the chunk decodes
-        t_fetch0 = time.perf_counter()
         # ONE host fetch per chunk, carrying the chunk's tokens AND every
         # pending join group's first tokens: a d2h read costs ~25 ms flat
         # over the tunnel even for ready data (CLAUDE.md), so per-group
         # np.asarray(first) reads were ~200 ms/run at the serving peak.
+        # The concatenate is enqueued HERE — right behind the chunk —
+        # not at fetch time: the overlapped join below dispatches a
+        # ~280 ms batch prefill, and a late concat would queue behind it,
+        # making the fetch wait out prefill+insert every cycle (the r4
+        # serving trace's 942 ms device idle was exactly this turnaround).
+        # Enqueued early, the fetch returns at chunk-end while the join's
+        # prefill still runs on device, and the next chunk's dispatch
+        # lands before the device drains.
         if ready_first:
             flat = [packed.reshape(-1)] + [
                 f.astype(jnp.int32).reshape(-1) for _, f in ready_first
             ]
-            fetched = np.asarray(jnp.concatenate(flat))
+            fetch_arr = jnp.concatenate(flat)
+        else:
+            fetch_arr = packed
+        self.host_t["decode_dispatch"] += time.perf_counter() - t_disp0
+        if had_active:
+            self._fill_slots()  # overlapped: runs while the chunk decodes
+        t_fetch0 = time.perf_counter()
+        if ready_first:
+            fetched = np.asarray(fetch_arr)
             packed_np = fetched[: packed.size].reshape(packed.shape)
             first_np, off = [], packed.size
             for _, f in ready_first:
                 first_np.append(fetched[off: off + f.size])
                 off += f.size
         else:
-            packed_np = np.asarray(packed)
+            packed_np = np.asarray(fetch_arr)
             first_np = []
         # NB: "fetch" includes waiting out whatever device work is still
         # queued (the chunk + any overlapped join programs) plus the ~25 ms

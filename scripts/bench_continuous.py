@@ -285,6 +285,17 @@ def main():
                 log(f"TRACE {pname}: busy {busy:.0f} ms over span "
                     f"{plane['span_ms']:.0f} ms, wall {wall_c*1000:.0f} ms "
                     f"-> device idle {wall_c*1000 - busy:.0f} ms")
+                # Per-program split (prefill vs decode chunks vs inserts)
+                # + inter-program device gaps — the decomposition that
+                # located the r4 turnaround idle.
+                mods = {k: v for k, v in plane.get("modules", {}).items()
+                        if v["total_ms"] >= 1.0}
+                out["device_modules"] = mods
+                out["device_gap_ms"] = plane.get("module_gap_ms")
+                for name, m in mods.items():
+                    log(f"  {m['total_ms']:9.1f} ms  x{m['count']:4d}  "
+                        f"{name}")
+                log(f"  inter-program device gap: {plane.get('module_gap_ms')} ms")
         tag += "_traced"
     name = f"continuous_bench{tag}.json"
     with open(name, "w") as f:

@@ -146,9 +146,35 @@ def analyze(out_dir: str, chunks: int) -> dict:
         top = sorted(stats.items(), key=lambda kv: -kv[1][0])[:40]
         by_name = {(m.display_name or m.name): m
                    for m in plane.event_metadata.values()}
+        # Per-compiled-program decomposition + device-idle accounting from
+        # the "XLA Modules" line (one non-overlapping event per executed
+        # program — the Ops lines nest fusions and double-count). This is
+        # what located the serving engine's 942 ms/run turnaround idle
+        # (REPORT.md round-4 host-pipeline section).
+        modules, idle_ms = {}, 0.0
+        for line in plane.lines:
+            if line.name != "XLA Modules":
+                continue
+            evs = sorted(line.events, key=lambda e: e.offset_ps)
+            prev_end = None
+            for ev in evs:
+                meta = plane.event_metadata[ev.metadata_id]
+                base = (meta.display_name or meta.name).split("(")[0]
+                m = modules.setdefault(base, {"total_ms": 0.0, "count": 0})
+                m["total_ms"] += ev.duration_ps / 1e9
+                m["count"] += 1
+                if prev_end is not None and ev.offset_ps > prev_end:
+                    idle_ms += (ev.offset_ps - prev_end) / 1e9
+                end = ev.offset_ps + ev.duration_ps
+                prev_end = end if prev_end is None else max(prev_end, end)
+        for m in modules.values():
+            m["total_ms"] = round(m["total_ms"], 1)
         summary["planes"][plane.name] = {
             "lines": busy_by_line,
             "span_ms": (span_hi - span_lo) / 1e9 if span_lo is not None else 0,
+            "modules": dict(sorted(
+                modules.items(), key=lambda kv: -kv[1]["total_ms"])),
+            "module_gap_ms": round(idle_ms, 1),
             "top_ops": [
                 {"name": n, "total_ms": round(ps / 1e9, 4), "count": c,
                  "ms_per_token": round(ps / 1e9 / (chunks * CHUNK), 5),
