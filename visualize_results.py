@@ -246,8 +246,22 @@ def main(argv=None):
         if len(spec_pts) >= 2:
             ax.plot([p[0] for p in spec_pts], [p[1] for p in spec_pts],
                     marker="s", markersize=5, color=COLOR_SINGLE,
-                    linestyle="--", label="speculative k=4")
-            ax.legend(frameon=False, fontsize=8)
+                    linestyle="--", label="speculative k=4 (r3)")
+        # Round-4 shipped config at the same width: adaptive spec k=8 at
+        # cadence 16 + kv window + packed host pipeline (server defaults).
+        r4_path = os.path.join(
+            args.serving_dir,
+            "continuous_bench_int8_s32c32_r256_specL8av16_kvw.json")
+        if os.path.exists(r4_path):
+            with open(r4_path) as f:
+                d = json.load(f)
+            y = d["continuous_agg_tok_s"]
+            ax.plot([32], [y], marker="*", markersize=14, color="#7a2048",
+                    linestyle="none",
+                    label="r4 shipped: spec k=8 + window + pipeline")
+            ax.text(32, y + 30, f"{y:.0f}", ha="center", fontsize=8,
+                    color="#7a2048")
+        ax.legend(frameon=False, fontsize=8)
         ax.set_xlabel("Decode slots (int8, chunk 32; rN = backlog size)")
         ax.set_ylabel("Useful tokens/sec (aggregate)")
         ax.set_title("Continuous Serving Width Scaling")
