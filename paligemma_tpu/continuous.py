@@ -842,7 +842,8 @@ class ContinuousBatcher:
         with self._proc_lock:
             out = self.processor(text=[req.prompt], images=[req.image])
         ids = np.asarray(out["input_ids"][0], np.int32)
-        pix = np.asarray(out["pixel_values"][0]).astype(self.cache_dtype)
+        pix = np.asarray(out["pixel_values"][0]).astype(
+            self.cache_dtype, copy=False)
         return ids, len(ids), pix
 
     def _prefetch_loop(self) -> None:

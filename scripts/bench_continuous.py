@@ -270,32 +270,51 @@ def main():
         from trace_decode import analyze  # noqa: PLC0415
 
         summary = analyze(args.trace, chunks=1)
-        for pname, plane in summary.get("planes", {}).items():
-            if "TPU" in pname or "tpu" in pname:
-                # "XLA Modules" is the one non-overlapping line (one event
-                # per executed program); the Ops lines nest fusions and
-                # double-count, so summing lines overstates busy ~3x.
-                lines = plane["lines"]
-                mod = lines.get("XLA Modules")
-                busy = (mod["busy_ms"] if mod
-                        else max(l["busy_ms"] for l in lines.values()))
-                out["device_busy_ms"] = round(busy, 1)
-                out["device_span_ms"] = round(plane["span_ms"], 1)
-                out["wall_ms"] = round(wall_c * 1000, 1)
-                log(f"TRACE {pname}: busy {busy:.0f} ms over span "
-                    f"{plane['span_ms']:.0f} ms, wall {wall_c*1000:.0f} ms "
-                    f"-> device idle {wall_c*1000 - busy:.0f} ms")
-                # Per-program split (prefill vs decode chunks vs inserts)
-                # + inter-program device gaps — the decomposition that
-                # located the r4 turnaround idle.
-                mods = {k: v for k, v in plane.get("modules", {}).items()
-                        if v["total_ms"] >= 1.0}
-                out["device_modules"] = mods
-                out["device_gap_ms"] = plane.get("module_gap_ms")
-                for name, m in mods.items():
-                    log(f"  {m['total_ms']:9.1f} ms  x{m['count']:4d}  "
-                        f"{name}")
-                log(f"  inter-program device gap: {plane.get('module_gap_ms')} ms")
+        tpu_planes = {p: v for p, v in summary.get("planes", {}).items()
+                      if "TPU" in p or "tpu" in p}
+        # Flat keys describe ONE device; with several TPU planes (multi-
+        # chip traces) the per-plane numbers go under device_planes and
+        # the flat keys aggregate, instead of silently keeping whichever
+        # plane iterated last.
+        if len(tpu_planes) > 1:
+            out["device_planes"] = {}
+        for pname, plane in tpu_planes.items():
+            # "XLA Modules" is the one non-overlapping line (one event
+            # per executed program); the Ops lines nest fusions and
+            # double-count, so summing lines overstates busy ~3x.
+            lines = plane["lines"]
+            mod = lines.get("XLA Modules")
+            busy = (mod["busy_ms"] if mod
+                    else max(l["busy_ms"] for l in lines.values()))
+            log(f"TRACE {pname}: busy {busy:.0f} ms over span "
+                f"{plane['span_ms']:.0f} ms, wall {wall_c*1000:.0f} ms "
+                f"-> device idle {wall_c*1000 - busy:.0f} ms")
+            # Per-program split (prefill vs decode chunks vs inserts)
+            # + inter-program device gaps — the decomposition that
+            # located the r4 turnaround idle.
+            mods = {k: v for k, v in plane.get("modules", {}).items()
+                    if v["total_ms"] >= 1.0}
+            for name, m in mods.items():
+                log(f"  {m['total_ms']:9.1f} ms  x{m['count']:4d}  "
+                    f"{name}")
+            log(f"  inter-program device gap: "
+                f"{plane.get('module_gap_ms')} ms")
+            entry = {
+                "device_busy_ms": round(busy, 1),
+                "device_span_ms": round(plane["span_ms"], 1),
+                "device_modules": mods,
+                "device_gap_ms": plane.get("module_gap_ms"),
+            }
+            if len(tpu_planes) > 1:
+                out["device_planes"][pname] = entry
+                out["device_busy_ms"] = round(
+                    out.get("device_busy_ms", 0.0) + busy, 1)
+                out["device_span_ms"] = max(
+                    out.get("device_span_ms", 0.0),
+                    round(plane["span_ms"], 1))
+            else:
+                out.update(entry)
+            out["wall_ms"] = round(wall_c * 1000, 1)
         tag += "_traced"
     name = f"continuous_bench{tag}.json"
     with open(name, "w") as f:

@@ -150,7 +150,10 @@ def analyze(out_dir: str, chunks: int) -> dict:
         # the "XLA Modules" line (one non-overlapping event per executed
         # program — the Ops lines nest fusions and double-count). This is
         # what located the serving engine's 942 ms/run turnaround idle
-        # (REPORT.md round-4 host-pipeline section).
+        # (REPORT.md round-4 host-pipeline section). Each TPU device is
+        # its own plane; module_gap_ms is within-line idle, so in the
+        # (unobserved) case of several Modules lines on one plane it sums
+        # per-line gaps rather than wall-clock idle.
         modules, idle_ms = {}, 0.0
         for line in plane.lines:
             if line.name != "XLA Modules":
