@@ -74,11 +74,48 @@ def quantize_tensor_int4(w: jnp.ndarray, axis: int):
 
 
 def qproj(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
-    """x (B, T, in) @ QTensor (in, out) with output-channel rescale."""
+    """x (B, T, in) @ QTensor (in, out) with output-channel rescale.
+
+    Long-sequence (prefill) calls optionally route through ``qproj_a8`` —
+    both-operands-int8 on the MXU — behind ``runtime.prefill_a8``. The
+    T >= ``runtime.a8_min_seq`` gate is a static-shape decision at trace
+    time, so decode/verify programs (T <= 13) always compile the exact
+    weight-only path regardless of the flag.
+    """
+    from paligemma_tpu import runtime
+
+    if runtime.prefill_a8 and x.shape[-2] >= runtime.a8_min_seq:
+        return qproj_a8(x, qt)
     y = jnp.einsum(
         "btd,de->bte", x, qt.q.astype(x.dtype), preferred_element_type=jnp.float32
     )
     return (y * qt.scale.reshape(1, 1, -1)).astype(x.dtype)
+
+
+def qproj_a8(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
+    """x (B, T, in) @ QTensor (in, out) with int8 on BOTH MXU operands.
+
+    Activations are quantized symmetrically per token (abs-max over the
+    feature axis), the matmul accumulates int8 x int8 -> int32 at the MXU's
+    double int8 rate, and the output is rescaled by (per-token activation
+    scale) x (per-output-channel weight scale). Prefill is compute-bound, so
+    halving MXU cycles targets the serving engine's dominant device phase
+    (REPORT.md round-4 decomposition: batched prefill = 62% of device time).
+
+    Numerics: adds per-token activation quantization error on top of the
+    weight quantization — NOT token-identical to bf16 (tolerance pinned in
+    tests/test_quantization.py; opt-in via runtime.prefill_a8). The
+    reference has no quantization at all (confound-excluded, Paper §3.1).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xscale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.round(xf / xscale).astype(jnp.int8)
+    acc = jnp.einsum(
+        "btd,de->bte", xq, qt.q, preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * xscale * qt.scale.reshape(1, 1, -1)
+    return y.astype(x.dtype)
 
 
 def quantize_params(

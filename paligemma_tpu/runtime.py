@@ -34,6 +34,26 @@ auto_flash_min_seq: int = int(
 )
 
 
+# Opt-in: feed the MXU int8 on BOTH operands for long-sequence (prefill)
+# projections of int8-quantized kernels, by dynamically quantizing the
+# activations per token (see quantization.qproj_a8). Prefill is compute-bound
+# (81% MXU at bf16 rate, REPORT.md prefill roofline) and the v5e MXU has 2x
+# int8 throughput, so this targets the serving engine's dominant device phase.
+# Gated on measurement (scripts/bench_mxu_int8.py); numerics are NOT
+# token-identical to bf16 (activation quant error) — decode (short-T
+# programs, < a8_min_seq tokens) always keeps the exact weight-only path.
+prefill_a8: bool = os.environ.get("PALIGEMMA_PREFILL_A8", "0") == "1"
+
+# Sequence-length threshold separating "compute-bound enough for a8" from the
+# bandwidth-bound short programs (decode T=1, speculative verify T<=13).
+a8_min_seq: int = 32
+
+
+def set_prefill_a8(enabled: bool) -> None:
+    global prefill_a8
+    prefill_a8 = enabled
+
+
 def set_auto_flash_min_seq(n: int) -> None:
     global auto_flash_min_seq
     auto_flash_min_seq = n

@@ -72,6 +72,9 @@ def main():
                          "(rejected by verification — streams stay exact). "
                          "Emulates low real-text n-gram acceptance to "
                          "measure the adaptive engine's degradation floor")
+    ap.add_argument("--prefill_a8", action="store_true",
+                    help="both-operands-int8 MXU prefill projections "
+                         "(runtime.prefill_a8; int8 quant only)")
     ap.add_argument("--kv_quant", action="store_true",
                     help="int8 KV cache (per-row scales)")
     ap.add_argument("--kv_window", action="store_true",
@@ -96,6 +99,13 @@ def main():
         ap.error("--spec_ks and --spec_k are mutually exclusive")
     if args.trace:
         args.skip_coalesced = True
+
+    if args.prefill_a8:
+        if args.quant != "int8":
+            ap.error("--prefill_a8 requires --quant int8")
+        from paligemma_tpu import runtime
+
+        runtime.set_prefill_a8(True)  # before the first jit trace
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()
@@ -253,6 +263,9 @@ def main():
         if args.draft_noise:
             out["draft_noise"] = args.draft_noise
             tag += f"_dn{int(args.draft_noise * 100)}"
+    if args.prefill_a8:
+        out["prefill_a8"] = True
+        tag += "_a8"
     if args.kv_quant:
         tag += "_kvq"
     if args.kv_window:

@@ -1067,6 +1067,11 @@ def main(argv=None):
                         "slots — the verify program streams the cache "
                         "hardest) but -5%% under the plain program "
                         "(REPORT.md round 4)")
+    p.add_argument("--prefill_a8", choices=["on", "off"], default="off",
+                   help="both-operands-int8 MXU prefill projections "
+                        "(requires --quant int8). Opt-in: trades exact "
+                        "bf16-token parity for prefill throughput — see "
+                        "REPORT.md a8 section before enabling")
     p.add_argument("--prefill_cache", type=int, default=0,
                    help="continuous mode: LRU size of the content-keyed "
                         "prefix cache — repeated identical (prompt, image, "
@@ -1078,6 +1083,13 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.prefill_a8 == "on":
+        if args.quant != "int8":
+            raise SystemExit("--prefill_a8 on requires --quant int8")
+        from paligemma_tpu import runtime
+
+        runtime.set_prefill_a8(True)  # before warm-up traces anything
 
     engine = Engine(
         args.model_path, demo=args.demo or not args.model_path,

@@ -235,3 +235,76 @@ def test_int8_kv_cache_generation_matches(params, cfg, sample_inputs):
     spec = generation.generate_spec(
         params, cfg, ids, pix, cache_dtype=jnp.int8, chunk=4, k=3, **kw)
     assert spec == base
+
+
+# ---------------------------------------------------------------------------
+# a8 prefill (both-operands-int8 MXU path, runtime.prefill_a8)
+# ---------------------------------------------------------------------------
+
+
+def test_qproj_a8_close_to_fp32():
+    """qproj_a8 (per-token activation quant + s8xs8 accumulate) stays close
+    to the fp32 matmul: activation quantization adds at most ~1% relative
+    error on well-conditioned random inputs."""
+    from paligemma_tpu.quantization import qproj_a8
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 96), jnp.float32)
+    qt = quantize_tensor(w, axis=0)
+    ref = x @ w
+    out = np.asarray(qproj_a8(x, qt), np.float64)
+    rel = np.linalg.norm(out - np.asarray(ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.02, rel
+
+
+def test_qproj_a8_routing_is_static_on_length():
+    """With the flag on, long-T calls take the a8 route and short-T calls
+    keep the exact weight-only result; with the flag off nothing changes."""
+    from paligemma_tpu import runtime
+    from paligemma_tpu.quantization import qproj, qproj_a8
+
+    x_long = jax.random.normal(jax.random.PRNGKey(0), (1, 40, 64), jnp.float32)
+    x_short = x_long[:, :8]
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 96), jnp.float32)
+    qt = quantize_tensor(w, axis=0)
+    base_long = qproj(x_long, qt)
+    base_short = qproj(x_short, qt)
+    runtime.set_prefill_a8(True)
+    try:
+        np.testing.assert_array_equal(
+            np.asarray(qproj(x_long, qt)), np.asarray(qproj_a8(x_long, qt)))
+        np.testing.assert_array_equal(
+            np.asarray(qproj(x_short, qt)), np.asarray(base_short))
+        assert not np.array_equal(np.asarray(qproj(x_long, qt)),
+                                  np.asarray(base_long))
+    finally:
+        runtime.set_prefill_a8(False)
+    np.testing.assert_array_equal(np.asarray(qproj(x_long, qt)),
+                                  np.asarray(base_long))
+
+
+def test_prefill_a8_model_forward_close(params, cfg, sample_inputs):
+    """Full-model forward with a8 prefill projections: last-position logits
+    stay directionally identical to fp32 (cos > 0.99) on the tiny model.
+
+    The flag is trace-time state, so caches are cleared around the flip
+    (runtime.py docstring contract)."""
+    from paligemma_tpu import runtime
+
+    ids, pix = sample_inputs
+    ref = paligemma.forward_nocache(params, cfg, ids, pix)
+    qp = quantize_params(params)
+    jax.clear_caches()
+    runtime.set_prefill_a8(True)
+    old_min = runtime.a8_min_seq
+    runtime.a8_min_seq = 8  # tiny prompt is 22 tokens
+    try:
+        out = paligemma.forward_nocache(qp, cfg, ids, pix)
+    finally:
+        runtime.set_prefill_a8(False)
+        runtime.a8_min_seq = old_min
+        jax.clear_caches()
+    ref_l = np.asarray(ref[0, -1]).astype(np.float64)
+    out_l = np.asarray(out[0, -1]).astype(np.float64)
+    cos = np.dot(ref_l, out_l) / (np.linalg.norm(ref_l) * np.linalg.norm(out_l))
+    assert cos > 0.99, cos
