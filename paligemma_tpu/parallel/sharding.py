@@ -34,8 +34,19 @@ def _div(n: int, mesh: Mesh) -> bool:
     return n % mesh.shape[MODEL_AXIS] == 0
 
 
-def param_shardings(cfg: PaliGemmaConfig, mesh: Mesh) -> Dict[str, Any]:
-    """NamedSharding pytree matching ``paligemma.init_params`` structure."""
+def param_shardings(
+    cfg: PaliGemmaConfig, mesh: Mesh, params: Any = None
+) -> Dict[str, Any]:
+    """NamedSharding pytree matching ``paligemma.init_params`` structure.
+
+    Pass ``params`` when the tree holds int8 ``QTensor`` leaves
+    (quantization.quantize_params): each kernel's sharding is then expanded to
+    ``QTensor(q=<kernel sharding>, scale=<compatible sharding>)`` — the
+    per-output-channel scale keeps the kernel's partitioning only on axes it
+    can actually divide (its contraction axis is size 1, so row-parallel
+    kernels get replicated scales). Without this, jax.device_put's pytree-
+    prefix broadcast would try to shard the size-1 scale axis model-ways.
+    """
     tc, vc = cfg.text_config, cfg.vision_config
     rep = _ns(mesh)  # replicated
     col = _ns(mesh, None, None, MODEL_AXIS)  # (L, in, out): shard out
@@ -88,11 +99,39 @@ def param_shardings(cfg: PaliGemmaConfig, mesh: Mesh) -> Dict[str, Any]:
         "final_norm": rep,
     }
 
-    return {
+    tree = {
         "vision": vision,
         "projector": {"kernel": rep, "bias": rep},
         "llm": llm,
     }
+    if params is not None:
+        tree = _expand_qtensor_shardings(tree, params, mesh)
+    return tree
+
+
+def _expand_qtensor_shardings(shard_tree, params, mesh: Mesh):
+    """Expand kernel shardings to QTensor(q, scale) pairs where ``params``
+    holds quantized leaves (see param_shardings docstring)."""
+    from paligemma_tpu.quantization import QTensor
+
+    def scale_sharding(kernel_ns: NamedSharding, scale_shape) -> NamedSharding:
+        spec = list(kernel_ns.spec) + [None] * (
+            len(scale_shape) - len(kernel_ns.spec)
+        )
+        kept = []
+        for dim, name in zip(scale_shape, spec):
+            size = mesh.shape[name] if name is not None else 1
+            kept.append(name if name is not None and dim % size == 0 and dim >= size else None)
+        return NamedSharding(mesh, P(*kept))
+
+    def fix(p, s):
+        if isinstance(p, QTensor):
+            return QTensor(q=s, scale=scale_sharding(s, p.scale.shape))
+        return s
+
+    return jax.tree.map(
+        fix, params, shard_tree, is_leaf=lambda x: isinstance(x, QTensor)
+    )
 
 
 def lora_shardings(cfg: PaliGemmaConfig, mesh: Mesh) -> Dict[str, Any]:

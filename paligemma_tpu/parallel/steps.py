@@ -23,7 +23,8 @@ from paligemma_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def make_sharded_prefill(
-    cfg: PaliGemmaConfig, mesh: Mesh, sequence_parallel: bool = False
+    cfg: PaliGemmaConfig, mesh: Mesh, sequence_parallel: bool = False,
+    params=None,
 ):
     """Sharded prefill: params TP-sharded, batch DP-sharded, cache sharded.
 
@@ -31,8 +32,10 @@ def make_sharded_prefill(
     stream sharded along the sequence axis over the MODEL mesh axis between
     blocks (Megatron-SP layout) — GSPMD inserts the all-gather/reduce-scatter
     pairs around the TP matmuls.
+
+    Pass ``params`` for int8 QTensor trees (sharding.param_shardings).
     """
-    pshard = shd.param_shardings(cfg, mesh)
+    pshard = shd.param_shardings(cfg, mesh, params=params)
     batch = NamedSharding(mesh, P(DATA_AXIS))
     cache = shd.cache_shardings(mesh)
     rep = NamedSharding(mesh, P())
@@ -51,8 +54,8 @@ def make_sharded_prefill(
     )
 
 
-def make_sharded_decode(cfg: PaliGemmaConfig, mesh: Mesh):
-    pshard = shd.param_shardings(cfg, mesh)
+def make_sharded_decode(cfg: PaliGemmaConfig, mesh: Mesh, params=None):
+    pshard = shd.param_shardings(cfg, mesh, params=params)
     batch = NamedSharding(mesh, P(DATA_AXIS))
     cache = shd.cache_shardings(mesh)
     rep = NamedSharding(mesh, P())

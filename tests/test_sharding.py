@@ -119,3 +119,58 @@ def test_sequence_parallel_prefill_matches_single(cfg, params, batch_inputs):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
     )
+
+
+def test_sharded_prefill_a8_matches_single(cfg, params, batch_inputs):
+    """a8 prefill (both-operands-int8 projections, runtime.prefill_a8) under
+    tensor parallelism: GSPMD-sharded execution must reproduce the
+    single-device a8 numbers — the int8 einsum partitions on the weight's
+    output dim with the per-token activation scales replicated, so the
+    int32 accumulation never crosses devices."""
+    from paligemma_tpu import runtime
+    from paligemma_tpu.quantization import quantize_params
+
+    ids, pix = batch_inputs
+    qp = quantize_params(params, llm_only=True)
+    cache = generation.make_cache(cfg, ids.shape[0], ids.shape[1], 4, jnp.float32)
+
+    jax.clear_caches()  # flag is trace-time state (runtime.py contract)
+    runtime.set_prefill_a8(True)
+    old_min = runtime.a8_min_seq
+    runtime.a8_min_seq = 8  # tiny prompt is 22 tokens
+    try:
+        ref_logits, _ = paligemma.prefill(qp, cfg, ids, pix, cache)
+
+        mesh = make_mesh(data=2, model=4)
+        sqp = jax.device_put(qp, shd.param_shardings(cfg, mesh, params=qp))
+        scache = jax.device_put(cache, shd.cache_shardings(mesh))
+        prefill = steps.make_sharded_prefill(cfg, mesh, params=qp)
+        logits, _ = prefill(sqp, ids, pix, scache)
+    finally:
+        runtime.set_prefill_a8(False)
+        runtime.a8_min_seq = old_min
+        jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_sharded_prefill_int8_weightonly_matches_single(cfg, params, batch_inputs):
+    """int8 weight-only params (QTensor leaves) under TP: the expanded
+    QTensor shardings (param_shardings(params=...)) reproduce single-device
+    quantized prefill."""
+    from paligemma_tpu.quantization import quantize_params
+
+    ids, pix = batch_inputs
+    qp = quantize_params(params, llm_only=True)
+    cache = generation.make_cache(cfg, ids.shape[0], ids.shape[1], 4, jnp.float32)
+    ref_logits, _ = paligemma.prefill(qp, cfg, ids, pix, cache)
+
+    mesh = make_mesh(data=2, model=4)
+    sqp = jax.device_put(qp, shd.param_shardings(cfg, mesh, params=qp))
+    scache = jax.device_put(cache, shd.cache_shardings(mesh))
+    prefill = steps.make_sharded_prefill(cfg, mesh, params=qp)
+    logits, _ = prefill(sqp, ids, pix, scache)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
