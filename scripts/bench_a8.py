@@ -117,6 +117,25 @@ def main() -> None:
     finally:
         runtime.set_prefill_a8(False)
 
+    if "--vision" in sys.argv:
+        # int8-everything (vision tower quantized too): weight-only int8
+        # vision SLOWED prefill (58 vs 39 ms, REPORT r1 — dequant overhead at
+        # the bf16 MXU rate); a8 feeds the MXU int8, which may flip the sign.
+        params_v = paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype)
+        qp_all = quantize_params(params_v, llm_only=False)
+        jax.block_until_ready(qp_all)
+        del params_v
+        jax.clear_caches()
+        runtime.set_prefill_a8(True)
+        try:
+            out["prefill_ms_a8_vision"] = round(
+                prefill_ms(qp_all, cfg, ids0, pix0, dtype), 3)
+            log(f"a8 prefill incl. vision: {out['prefill_ms_a8_vision']} ms")
+        finally:
+            runtime.set_prefill_a8(False)
+        del qp_all
+        jax.clear_caches()
+
     agree_tok = sum(sum(x == y for x, y in zip(b, a)) for b, a in zip(base, a8))
     total = sum(len(b) for b in base)
     out["streams"] = len(base)
