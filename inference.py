@@ -158,6 +158,10 @@ def main(argv=None):
                    help="int8: weight-only quantized decoder (the serving "
                         "config — ~2x decode throughput, token-identical "
                         "to bf16 on the measured window)")
+    p.add_argument("--prefill_a8", type=str2bool, default=False,
+                   help="both-operands-int8 MXU prefill projections "
+                        "(requires --quant int8; opt-in — not "
+                        "token-identical to bf16, see REPORT.md)")
     p.add_argument("--speculative", action="store_true",
                    help="n-gram speculative decoding — greedy output is "
                         "token-identical, sampled output draws the exact "
@@ -169,6 +173,13 @@ def main(argv=None):
 
     if args.only_cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.prefill_a8:
+        if args.quant != "int8":
+            print("error: --prefill_a8 requires --quant int8", file=sys.stderr)
+            return 2
+        from paligemma_tpu import runtime
+
+        runtime.set_prefill_a8(True)  # before the first jit trace
     print("Device in use: ", jax.devices()[0])
 
     print("Loading model")

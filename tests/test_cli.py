@@ -50,6 +50,26 @@ def test_inference_cli_demo_int8(image_path):
     assert "total assets?" in r.stdout
 
 
+def test_inference_cli_demo_prefill_a8(image_path):
+    """--prefill_a8 runs the both-operands-int8 prefill route end-to-end
+    (tiny prompt is below runtime.a8_min_seq, so this exercises the flag
+    plumbing + unchanged short-T programs); without --quant int8 it's a
+    usage error."""
+    r = run_cli([
+        "inference.py", "--demo", "--only_cpu=True", "--quant=int8",
+        "--prefill_a8=True", "--prompt=total assets?",
+        f"--image_file_path={image_path}", "--max_tokens_to_generate=4",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "total assets?" in r.stdout
+    r = run_cli([
+        "inference.py", "--demo", "--only_cpu=True", "--prefill_a8=True",
+        "--prompt=x", f"--image_file_path={image_path}",
+    ])
+    assert r.returncode == 2
+    assert "requires --quant int8" in r.stderr
+
+
 def test_inference_cli_demo_speculative(image_path):
     """--speculative routes greedy decoding through n-gram speculation from
     the CLI (token-identical path, tests/test_speculative.py)."""
