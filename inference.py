@@ -173,13 +173,14 @@ def main(argv=None):
 
     if args.only_cpu:
         jax.config.update("jax_platforms", "cpu")
-    if args.prefill_a8:
-        if args.quant != "int8":
-            print("error: --prefill_a8 requires --quant int8", file=sys.stderr)
-            return 2
-        from paligemma_tpu import runtime
+    if args.prefill_a8 and args.quant != "int8":
+        print("error: --prefill_a8 requires --quant int8", file=sys.stderr)
+        return 2
+    from paligemma_tpu import runtime
 
-        runtime.set_prefill_a8(True)  # before the first jit trace
+    # CLI wins over the PALIGEMMA_PREFILL_A8 env default, both directions;
+    # set before the first jit trace.
+    runtime.set_prefill_a8(bool(args.prefill_a8))
     print("Device in use: ", jax.devices()[0])
 
     print("Loading model")

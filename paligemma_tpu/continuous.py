@@ -538,6 +538,16 @@ class ContinuousBatcher:
             raise ValueError(
                 f"speculative k values must be >= 2, got {self.spec_ks}")
         self.spec_k = self.spec_ks[-1] if self.spec_ks else 0
+        from paligemma_tpu import runtime as _rt
+
+        if _rt.prefill_a8 and self.spec_k and self.spec_k + 1 >= _rt.a8_min_seq:
+            # a8 routes by static T >= a8_min_seq; a verify program that deep
+            # would silently take the non-exact a8 path while plain decode
+            # chunks stay weight-only — internally inconsistent streams.
+            raise ValueError(
+                f"spec_k={self.spec_k} verify depth {self.spec_k + 1} >= "
+                f"runtime.a8_min_seq={_rt.a8_min_seq} would route verify "
+                "through the a8 path; lower spec_k or disable prefill_a8")
         self.spec_ngram = int(spec_ngram)
         # Verify iterations per SPECULATIVE chunk (plain chunks always run
         # ``chunk`` one-token steps). Decoupled so an adaptive engine can

@@ -166,6 +166,16 @@ def decode_steps_spec(
     the last token it will consume (stale K/V beyond the accepted length is
     masked and overwritten; see ``paligemma.verify_step``).
     """
+    from paligemma_tpu import runtime as _rt
+
+    if _rt.prefill_a8 and k + 1 >= _rt.a8_min_seq:
+        # Trace-time guard (once per compiled program): a verify this deep
+        # has T = k+1 >= a8_min_seq, so its projections would silently route
+        # through the non-exact a8 path while plain decode steps (T=1) stay
+        # weight-only — breaking speculative exactness mid-stream.
+        raise ValueError(
+            f"speculative verify depth k+1={k + 1} >= runtime.a8_min_seq="
+            f"{_rt.a8_min_seq} with prefill_a8 on; lower k or disable a8")
     out_buf = jnp.zeros((1, n_steps + k), jnp.int32)
     # Only do_sample is static: temperature/top_p are traced so every
     # sampled pair shares one compiled program (ADVICE r3 — static pairs

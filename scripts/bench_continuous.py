@@ -100,12 +100,14 @@ def main():
     if args.trace:
         args.skip_coalesced = True
 
-    if args.prefill_a8:
-        if args.quant != "int8":
-            ap.error("--prefill_a8 requires --quant int8")
-        from paligemma_tpu import runtime
+    if args.prefill_a8 and args.quant != "int8":
+        ap.error("--prefill_a8 requires --quant int8")
+    from paligemma_tpu import runtime
 
-        runtime.set_prefill_a8(True)  # before the first jit trace
+    # CLI is authoritative over the PALIGEMMA_PREFILL_A8 env default (a
+    # stray env export must not poison un-flagged bench runs); set before
+    # the first jit trace.
+    runtime.set_prefill_a8(bool(args.prefill_a8))
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()

@@ -97,20 +97,22 @@ def main() -> None:
         for name, K, N in GEMMS:
             flops = 2 * M * K * N * LOOP_N
             for arm, (fn, x, w, s) in arms(M, K, N).items():
-                # Local loop (not _bench_util.make_looped): the reduction must
-                # cover the FULL output — a [..., :8] slice is legally
-                # narrowable by XLA into an 8-column dot, which would void a
-                # compute-bound comparison. Full-sum fuses into the epilogue.
-                int_x = x.dtype == jnp.int8
+                # Local loop (not _bench_util.make_looped), two rules:
+                # 1. the reduction must cover the FULL output — a [..., :8]
+                #    slice is legally narrowable by XLA into an 8-column dot;
+                # 2. BOTH operands must be loop-variant — with w invariant,
+                #    XLA hoists the wq8 arm's dequant (convert+scale) out of
+                #    the fori_loop and the arm times a plain bf16 matmul
+                #    (caught in review: compiled HLO had zero s8 converts).
+                def vary(t, i):
+                    if t.dtype == jnp.int8:
+                        return t + (i & 1).astype(jnp.int8)
+                    return t * (1.0 + 1e-9 * i.astype(t.dtype))
 
                 @jax.jit
-                def looped(x=x, w=w, fn=fn, s=s, int_x=int_x):
+                def looped(x=x, w=w, fn=fn, s=s):
                     def body(i, acc):
-                        if int_x:  # CSE-defeating dep without dtype change
-                            xi = x + (i & 1).astype(jnp.int8)
-                        else:
-                            xi = x * (1.0 + 1e-9 * i.astype(x.dtype))
-                        y = fn(xi, w, s)
+                        y = fn(vary(x, i), vary(w, i), s)
                         return acc + jnp.sum(y.astype(jnp.float32))
 
                     return jax.lax.fori_loop(0, LOOP_N, body, jnp.float32(0.0))

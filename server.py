@@ -1084,12 +1084,13 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    if args.prefill_a8 == "on":
-        if args.quant != "int8":
-            raise SystemExit("--prefill_a8 on requires --quant int8")
-        from paligemma_tpu import runtime
+    if args.prefill_a8 == "on" and args.quant != "int8":
+        raise SystemExit("--prefill_a8 on requires --quant int8")
+    from paligemma_tpu import runtime
 
-        runtime.set_prefill_a8(True)  # before warm-up traces anything
+    # CLI is authoritative (set before warm-up traces anything): an explicit
+    # or default "off" must also override a stray PALIGEMMA_PREFILL_A8=1 env.
+    runtime.set_prefill_a8(args.prefill_a8 == "on")
 
     engine = Engine(
         args.model_path, demo=args.demo or not args.model_path,
