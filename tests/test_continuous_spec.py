@@ -254,3 +254,27 @@ def test_spec_engine_prefill_cache(setup):
     eng.run()
     assert eng.prefill_cache_hits == 1
     assert r1.tokens == r2.tokens
+
+
+def test_spec_depth_rejected_under_a8(params, cfg):
+    """prefill_a8 + a verify program deep enough to cross a8_min_seq must be
+    rejected at construction (it would silently route verify through the
+    non-exact a8 path while plain chunks stay weight-only)."""
+    import pytest
+
+    from paligemma_tpu import runtime
+    from paligemma_tpu.continuous import ContinuousBatcher
+    from paligemma_tpu.processing import ByteTokenizer, PaliGemmaProcessor
+
+    proc = PaliGemmaProcessor(
+        ByteTokenizer(), cfg.vision_config.num_image_tokens,
+        cfg.vision_config.image_size)
+    runtime.set_prefill_a8(True)
+    try:
+        with pytest.raises(ValueError, match="a8_min_seq"):
+            ContinuousBatcher(
+                params, cfg, proc, n_slots=2, max_new_tokens=4, chunk=2,
+                cache_dtype=__import__("jax.numpy", fromlist=["x"]).float32,
+                spec_k=runtime.a8_min_seq - 1)
+    finally:
+        runtime.set_prefill_a8(False)
