@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paligemma_tpu import generation, serving
+from paligemma_tpu import generation, processing, serving
 from paligemma_tpu.config import PaliGemmaConfig
 from paligemma_tpu.models import gemma
 from paligemma_tpu.models.gemma import KVCache
@@ -710,16 +710,21 @@ class ContinuousBatcher:
         self.prefill_cache_hits = 0
 
         # Prefetch pipeline: a worker thread preprocesses queued requests
-        # (tokenize + PIL + host numpy f32 -> cache_dtype convert) while the
-        # engine thread is blocked in the per-chunk fetch RPC, so join
-        # groups stack ready numpy pixels and ship one ~2.4 MB bf16 upload
-        # per 32-request wave instead of ~50 ms host preprocess + 19 MB fp32
-        # h2d (or 32 per-request upload RPCs) on the engine's critical path
-        # (the r4 host_t decomposition). Numerics are identical to the
-        # inline path: the same per-sample processor call, the same
-        # f32 -> cache_dtype conversion (elementwise convert-then-stack ==
-        # stack-then-convert). The thread starts lazily at first submit.
+        # (tokenize + PIL resize to uint8) while the engine thread is
+        # blocked in the per-chunk fetch RPC, so join groups stack ready
+        # uint8 pixels and ship one ~4.8 MB upload per 32-request wave
+        # instead of ~50 ms host preprocess + 19 MB fp32 h2d (or 32
+        # per-request upload RPCs) on the engine's critical path (the r4
+        # host_t decomposition). Numerics are identical to the inline
+        # path: the same per-sample processor call; rescale/normalize move
+        # on-device via the bit-exact `processing.pixel_lut` gather. The
+        # thread starts lazily at first submit.
         self.prefetch = bool(prefetch)
+        # (3, 256) rescale/normalize table, pre-cast to cache_dtype and
+        # device-resident once — `_join_group` gathers uint8 pixels through
+        # it right behind each upload.
+        self._pixel_lut = jnp.asarray(
+            processing.pixel_lut(), dtype=self.cache_dtype)
         # HF fast tokenizers are not re-entrant ("Already borrowed"): the
         # worker and an engine-thread inline preprocess may target different
         # requests concurrently, so the processor call itself is locked.
@@ -728,7 +733,7 @@ class ContinuousBatcher:
         self._prep_stop = False
         self._prefetch_thread: Optional[threading.Thread] = None
         # Bound how far ahead the worker runs (host-resident prepped pixels
-        # are ~300 KB each at 224 bf16 — cap the RAM exposure to ~2 waves).
+        # are ~150 KB each at 224 uint8 — cap the RAM exposure to ~2 waves).
         self._prep_lookahead = 2 * n_slots
 
     # -- request lifecycle ---------------------------------------------------
@@ -844,16 +849,20 @@ class ContinuousBatcher:
         processor once per sample), factored per-request so the prefetch
         worker can run it off the engine thread. The processor call is
         serialized via _prep_cv's claim protocol (HF fast tokenizers are not
-        re-entrant). Pixels stay HOST-side, converted to cache_dtype in
-        numpy (ml_dtypes bf16 — half the upload bytes): the join then ships
-        ONE stacked array per group. Per-request ``jnp.asarray`` uploads
-        from the worker were 512 trickling ~6 ms dispatch RPCs per 256-req
-        run on the tunneled backend — pure host churn on a 1-core box."""
+        re-entrant). Pixels stay HOST-side as resized UINT8 (raw_uint8=True):
+        the join ships ONE stacked 1-byte/pixel array per group and finishes
+        rescale/normalize on device (`processing.apply_pixel_lut`,
+        bit-identical to the host pipeline). The tunnel moves ~45 MB/s
+        end-to-end (scripts/bench_h2d.py) and pixel upload is the engine's
+        dominant host cost, so bytes are wall clock: uint8 is 2x under the
+        round-4 bf16 host-convert, 4x under fp32. Per-request ``jnp.asarray``
+        uploads from the worker were 512 trickling ~6 ms dispatch RPCs per
+        256-req run — pure host churn on a 1-core box."""
         with self._proc_lock:
-            out = self.processor(text=[req.prompt], images=[req.image])
+            out = self.processor(
+                text=[req.prompt], images=[req.image], raw_uint8=True)
         ids = np.asarray(out["input_ids"][0], np.int32)
-        pix = np.asarray(out["pixel_values"][0]).astype(
-            self.cache_dtype, copy=False)
+        pix = np.asarray(out["pixel_values"][0], np.uint8)
         return ids, len(ids), pix
 
     def _prefetch_loop(self) -> None:
@@ -981,10 +990,13 @@ class ContinuousBatcher:
             )
             self.host_t["init_cache"] += time.perf_counter() - t_pf0
             t_h2d0 = time.perf_counter()
-            # ONE stacked cache-dtype upload for the whole group (pixels
-            # were host-converted by the prefetch worker): ~2.4 MB bf16 at
-            # g=32/224px, vs 32 separate upload RPCs.
-            pix_dev = jnp.asarray(np.stack([p[2] for p in preps], axis=0))
+            # ONE stacked UINT8 upload for the whole group (~4.8 MB at
+            # g=32/224px vs 9.6 bf16 / 19.3 fp32), then the rescale/normalize
+            # LUT gather dispatched right behind it so it rides the device
+            # pipeline. The gather output is cache_dtype (the LUT was
+            # pre-cast at __init__) and bit-identical to the host pipeline.
+            pix_u8 = jnp.asarray(np.stack([p[2] for p in preps], axis=0))
+            pix_dev = processing.apply_pixel_lut(self._pixel_lut, pix_u8)
             ids_dev = jnp.asarray(ids)
             valid_dev = jnp.asarray(valid)
             self.host_t["h2d"] += time.perf_counter() - t_h2d0

@@ -90,6 +90,67 @@ def process_images(
     return out
 
 
+def process_images_uint8(
+    images: Sequence, size: Tuple[int, int], resample=None
+) -> List[np.ndarray]:
+    """Resize-only half of the host pipeline: PIL resize -> uint8 CHW.
+
+    The rescale/normalize half runs ON DEVICE via `pixel_lut` — together the
+    two are bit-identical to `process_images` (the LUT rows are computed by
+    the same `rescale`/`normalize` functions), but the host->device upload
+    carries 1 byte/pixel instead of 4 (fp32) or 2 (bf16). On the tunneled
+    backend the upload path is the serving engine's bottleneck (~45 MB/s
+    measured end-to-end — scripts/bench_h2d.py), so bytes ARE wall clock.
+    """
+    if resample is None and Image is not None:
+        resample = Image.Resampling.BICUBIC
+    out = []
+    for image in images:
+        img = resize(image, size=size, resample=resample)
+        out.append(np.asarray(img, dtype=np.uint8).transpose(2, 0, 1))
+    return out
+
+
+def pixel_lut(
+    rescale_factor: float = 1 / 255.0,
+    image_mean=IMAGENET_STANDARD_MEAN,
+    image_std=IMAGENET_STANDARD_STD,
+) -> np.ndarray:
+    """(3, 256) fp32 table: ``lut[c, v]`` = the host pipeline's output for
+    byte value ``v`` in channel ``c``.
+
+    Computed BY `rescale`/`normalize` themselves (including their uint8 ->
+    float64 -> float32 double-rounding), so a device-side ``lut[c, pix]``
+    gather over `process_images_uint8` output is bit-identical to
+    `process_images` — no re-derivation of the arithmetic on device, where
+    fp32 op-ordering could differ by an ulp and flip a downstream bf16
+    rounding.
+    """
+    # A (1, 256, 3) "image": H=1, W=256 byte ramp, C=3 — broadcasts mean/std
+    # per channel exactly like a real HWC frame.
+    ramp = np.broadcast_to(
+        np.arange(256, dtype=np.uint8)[None, :, None], (1, 256, 3)
+    )
+    arr = rescale(ramp, scale=rescale_factor)
+    arr = normalize(arr, mean=image_mean, std=image_std)
+    return np.ascontiguousarray(arr[0].transpose(1, 0))  # (3, 256) fp32
+
+
+@jax.jit
+def apply_pixel_lut(lut: jnp.ndarray, pix_u8: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3, H, W) uint8 -> (B, 3, H, W) lut.dtype via per-channel gather.
+
+    `lut` is `pixel_lut()` pre-cast to the consumer dtype (gathering a
+    pre-cast table equals casting gathered fp32 values — gathers don't
+    change values). Dispatched once per join group right behind the uint8
+    upload, so it rides the device pipeline.
+    """
+    idx = pix_u8.astype(jnp.int32)
+    return jnp.stack(
+        [jnp.take(lut[c], idx[:, c], axis=0) for c in range(3)], axis=1
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def preprocess_jit(raw_images, height: int, width: int):
     """On-device batched preprocessing: (B, H0, W0, 3) uint8 -> (B, 3, H, W) f32.
@@ -313,18 +374,27 @@ class PaliGemmaProcessor:
         images: List,
         padding: str = "longest",
         truncation: bool = True,
+        raw_uint8: bool = False,
     ) -> dict:
         assert len(images) == len(text), (
             f"Received {len(images)} images for {len(text)} prompts."
         )
 
-        pixel_values = process_images(
-            images,
-            size=(self.image_size, self.image_size),
-            rescale_factor=1 / 255.0,
-            image_mean=IMAGENET_STANDARD_MEAN,
-            image_std=IMAGENET_STANDARD_STD,
-        )
+        if raw_uint8:
+            # Upload-light serving path: resized uint8 CHW; the caller
+            # finishes rescale/normalize on device with `apply_pixel_lut`
+            # (bit-identical to the host pipeline below — see `pixel_lut`).
+            pixel_values = process_images_uint8(
+                images, size=(self.image_size, self.image_size)
+            )
+        else:
+            pixel_values = process_images(
+                images,
+                size=(self.image_size, self.image_size),
+                rescale_factor=1 / 255.0,
+                image_mean=IMAGENET_STANDARD_MEAN,
+                image_std=IMAGENET_STANDARD_STD,
+            )
         pixel_values = np.stack(pixel_values, axis=0)
 
         input_strings = [

@@ -400,3 +400,35 @@ def test_kv_quant_spec_engine(setup):
         return [r.tokens for r in reqs]
 
     assert run(kv_quant=True, spec_k=3) == run()
+
+
+def test_prefetch_identity_and_shutdown(setup):
+    """The prefetch worker (off-thread preprocessing + host cache-dtype pixel
+    convert + one stacked upload per join group) is a pure scheduling change:
+    prefetch=True and prefetch=False produce identical streams, including for
+    a mid-flight submit the worker sees while the engine decodes. close()
+    stops the worker (idempotent)."""
+    params, cfg, proc, prompts, images = setup
+
+    def run(pf):
+        eng = ContinuousBatcher(
+            params, cfg, proc, n_slots=2, max_new_tokens=6, chunk=2,
+            cache_dtype=jnp.float32, prefetch=pf,
+        )
+        reqs = [eng.submit(p, im) for p, im in zip(prompts[:3], images[:3])]
+        eng.step()  # first wave in flight
+        reqs.append(eng.submit(prompts[3], images[3]))  # racing the worker
+        eng.run()
+        assert all(r.done and r.error is None for r in reqs)
+        if pf:
+            assert eng._prefetch_thread is not None
+        else:
+            assert eng._prefetch_thread is None
+        eng.close()
+        eng.close()  # idempotent
+        if pf:
+            eng._prefetch_thread.join(timeout=5.0)
+            assert not eng._prefetch_thread.is_alive()
+        return [r.tokens for r in reqs]
+
+    assert run(True) == run(False)

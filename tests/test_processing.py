@@ -169,3 +169,54 @@ def test_hf_fast_tokenizer_protocol_conformance():
     # decode round-trips the text portion
     text = tok.decode(ids[5:], skip_special_tokens=True)
     assert "describe" in text and "chart" in text
+
+
+def test_pixel_lut_bit_identical_to_host_pipeline(processor):
+    """The upload-light serving path (uint8 raw pixels + on-device LUT
+    gather) must be BIT-identical to the full host pipeline — in fp32 and
+    after a bf16 cast (the engine's cache dtype). The LUT rows are computed
+    by the host `rescale`/`normalize` themselves, so this pins that the
+    gather/cast plumbing preserves them exactly."""
+    import jax.numpy as jnp
+
+    from paligemma_tpu.processing import apply_pixel_lut, pixel_lut
+
+    img = random_image(seed=3)
+    host = processor(text=["x"], images=[img])["pixel_values"]
+    raw = processor(text=["x"], images=[img], raw_uint8=True)["pixel_values"]
+    assert raw.dtype == np.uint8 and raw.shape == host.shape
+
+    lut32 = jnp.asarray(pixel_lut())  # fp32 table
+    dev32 = np.asarray(apply_pixel_lut(lut32, jnp.asarray(raw)))
+    assert dev32.dtype == np.float32
+    assert np.array_equal(dev32, host)  # exact, not allclose
+
+    lut16 = jnp.asarray(pixel_lut(), dtype=jnp.bfloat16)  # pre-cast table
+    dev16 = apply_pixel_lut(lut16, jnp.asarray(raw))
+    assert dev16.dtype == jnp.bfloat16
+    assert np.array_equal(
+        np.asarray(dev16.astype(jnp.float32)),
+        np.asarray(jnp.asarray(host).astype(jnp.bfloat16).astype(jnp.float32)),
+    )
+
+
+def test_pixel_lut_nontrivial_mean_std():
+    """Per-channel LUT correctness with asymmetric mean/std (not the
+    all-0.5 imagenet-standard case, which would hide channel mixups)."""
+    from paligemma_tpu.processing import (
+        apply_pixel_lut,
+        normalize,
+        pixel_lut,
+        rescale,
+    )
+    import jax.numpy as jnp
+
+    mean, std = [0.1, 0.5, 0.9], [0.2, 0.25, 0.5]
+    lut = pixel_lut(image_mean=mean, image_std=std)
+    rng = np.random.RandomState(11)
+    hwc = rng.randint(0, 256, (6, 5, 3), np.uint8)
+    host = normalize(rescale(hwc, 1 / 255.0), mean, std).transpose(2, 0, 1)
+    dev = np.asarray(
+        apply_pixel_lut(jnp.asarray(lut), jnp.asarray(hwc.transpose(2, 0, 1)[None]))
+    )[0]
+    assert np.array_equal(dev, host.astype(np.float32))
