@@ -735,6 +735,22 @@ class ContinuousBatcher:
         # Bound how far ahead the worker runs (host-resident prepped pixels
         # are ~150 KB each at 224 uint8 — cap the RAM exposure to ~2 waves).
         self._prep_lookahead = 2 * n_slots
+        # Staged group upload: once the NEXT n_slots pending requests are all
+        # preprocessed, the worker ships their stacked uint8 pixels to the
+        # device ahead of the join — the ~107 ms/group tunnel transfer (4.8 MB
+        # at ~45 MB/s, scripts/bench_h2d.py) rides the h2d direction while the
+        # engine thread blocks in the chunk-fetch d2h, instead of sitting on
+        # the join's critical path (r4 host_t: h2d was the largest host cost
+        # left after the uint8-LUT fix). A join uses the staged stack iff its
+        # joiners are exactly the staged head in order (pad rows beyond g
+        # carry other still-pending requests' pixels — discarded with the
+        # trash-row scatter, so content there is free); any mismatch
+        # (cancellation, reorder, partial group) falls back to the inline
+        # upload and restages. (ids tuple, device uint8 stack) under _prep_cv;
+        # the upload itself runs outside the lock on the worker thread.
+        self._staged: Optional[tuple] = None
+        self.staged_hits = 0
+        self.staged_misses = 0
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -869,23 +885,28 @@ class ContinuousBatcher:
         while True:
             req = None
             with self._prep_cv:
-                while not self._prep_stop:
-                    ahead = 0
-                    for r in self.pending:
-                        if r.prep is not None or r._claimed:
-                            ahead += 1
-                            continue
-                        if r.cancelled:
-                            continue
-                        if ahead < self._prep_lookahead:
-                            req = r
-                        break
-                    if req is not None:
-                        req._claimed = True
-                        break
-                    self._prep_cv.wait(timeout=0.05)
                 if self._prep_stop:
                     return
+                ahead = 0
+                for r in self.pending:
+                    if r.prep is not None or r._claimed:
+                        ahead += 1
+                        continue
+                    if r.cancelled:
+                        continue
+                    if ahead < self._prep_lookahead:
+                        req = r
+                        req._claimed = True
+                    break
+            if req is None:
+                # Nothing left to preprocess within the lookahead: stage the
+                # next join group's pixel upload if it is complete, then idle.
+                self._try_stage()
+                with self._prep_cv:
+                    if self._prep_stop:
+                        return
+                    self._prep_cv.wait(timeout=0.05)
+                continue
             try:
                 prep = self._preprocess_one(req)
             except Exception:
@@ -897,6 +918,44 @@ class ContinuousBatcher:
                 req.prep = prep
                 req._claimed = False
                 self._prep_cv.notify_all()
+            self._try_stage()
+
+    def _try_stage(self) -> None:
+        """Worker-side: upload the next join group's stacked uint8 pixels
+        ahead of the join (see the staged-upload comment in ``__init__``).
+        Fires only when the first n_slots uncancelled pending requests all
+        have preps ready; single-joiner groups (g_b == 1) never stage."""
+        if self.n_slots < 2:
+            return
+        with self._prep_cv:
+            if self._prep_stop:
+                return
+            head = []
+            for r in self.pending:
+                if r.cancelled:
+                    continue
+                if r.prep is None:
+                    return  # head not fully preprocessed yet (or one failed)
+                head.append(r)
+                if len(head) == self.n_slots:
+                    break
+            if len(head) < self.n_slots:
+                return
+            ids = tuple(r.id for r in head)
+            if self._staged is not None:
+                if self._staged[0] == ids:
+                    return  # current head already staged
+                self._staged = None  # head moved since staging: drop, redo
+            pix = [r.prep[2] for r in head]
+        # Stack + upload OUTSIDE the lock: the transfer is the slow part and
+        # must not block submit()/_take_prep(). Single worker thread = no
+        # concurrent stagers.
+        t0 = time.perf_counter()
+        dev = jnp.asarray(np.stack(pix, axis=0))
+        self.host_t["h2d_staged"] += time.perf_counter() - t0
+        with self._prep_cv:
+            if self._staged is None:
+                self._staged = (ids, dev)
 
     def _ensure_prefetch(self) -> None:
         if not self.prefetch or self._prefetch_thread is not None:
@@ -995,7 +1054,24 @@ class ContinuousBatcher:
             # LUT gather dispatched right behind it so it rides the device
             # pipeline. The gather output is cache_dtype (the LUT was
             # pre-cast at __init__) and bit-identical to the host pipeline.
-            pix_u8 = jnp.asarray(np.stack([p[2] for p in preps], axis=0))
+            # When the prefetch worker staged this exact group's stack ahead
+            # of time (full-width joins under backlog), the transfer already
+            # happened off-thread and the join pays only the LUT dispatch.
+            pix_u8 = None
+            if g_b > 1:
+                with self._prep_cv:
+                    if self._staged is not None:
+                        sids, sdev = self._staged
+                        if sids[:g] == tuple(r.id for r in reqs):
+                            pix_u8 = sdev
+                            self.staged_hits += 1
+                        else:
+                            self.staged_misses += 1
+                        # Consumed or stale either way: the worker restages
+                        # for the new pending head.
+                        self._staged = None
+            if pix_u8 is None:
+                pix_u8 = jnp.asarray(np.stack([p[2] for p in preps], axis=0))
             pix_dev = processing.apply_pixel_lut(self._pixel_lut, pix_u8)
             ids_dev = jnp.asarray(ids)
             valid_dev = jnp.asarray(valid)

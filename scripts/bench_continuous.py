@@ -226,6 +226,8 @@ def main():
     out["host_t"] = {k: round(v, 3) for k, v in sorted(eng.host_t.items())}
     out["chunks_run"] = eng.chunks_run
     out["join_groups"] = eng.join_groups
+    out["staged_hits"] = eng.staged_hits
+    out["staged_misses"] = eng.staged_misses
     if args.spec_ks:
         out["spec_ks"] = list(eng.spec_ks)
         out["spec_k_chunks"] = {

@@ -724,6 +724,8 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None,
                     tokens_delivered=b.tokens_delivered,
                     chunks_run=b.chunks_run,
                     prefill_cache_hits=b.prefill_cache_hits,
+                    staged_upload_hits=b.staged_hits,
+                    staged_upload_misses=b.staged_misses,
                 )
                 if b.spec_k:
                     log = b.spec_mode_log

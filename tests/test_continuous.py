@@ -432,3 +432,45 @@ def test_prefetch_identity_and_shutdown(setup):
         return [r.tokens for r in reqs]
 
     assert run(True) == run(False)
+
+
+def test_staged_group_upload_hit_and_fallback(setup):
+    """The staged group upload (the prefetch worker ships the next join
+    group's stacked uint8 pixels to the device AHEAD of the join) is consumed
+    only when the join group matches the staged head exactly, in order; any
+    mismatch — here a cancellation between staging and join — falls back to
+    the inline upload and counts a miss. Both paths must stay token-identical
+    to batch-1 (pad rows beyond the group carry other requests' pixels, which
+    the trash-row scatter discards)."""
+    params, cfg, proc, prompts, images = setup
+
+    def run(cancel_one):
+        eng = ContinuousBatcher(
+            params, cfg, proc, n_slots=2, max_new_tokens=5, chunk=2,
+            cache_dtype=jnp.float32, prefetch=False,
+        )
+        reqs = [eng.submit(p, im) for p, im in zip(prompts, images)]
+        # Deterministic staging (no worker thread to race): preprocess the
+        # head group inline, then stage its stacked upload as the worker
+        # would. _try_stage is also exercised end-to-end (worker-driven,
+        # timing-dependent) by test_prefetch_identity_and_shutdown.
+        for r in list(eng.pending)[: eng.n_slots]:
+            r.prep = eng._preprocess_one(r)
+        eng._try_stage()
+        assert eng._staged is not None
+        if cancel_one:
+            reqs[0].cancelled = True
+        eng.run()
+        live = [r for r in reqs if not r.cancelled]
+        assert all(r.done and r.error is None for r in live)
+        if cancel_one:
+            assert eng.staged_misses >= 1 and eng.staged_hits == 0
+        else:
+            assert eng.staged_hits >= 1
+        for p, im, r in zip(prompts, images, reqs):
+            if r.cancelled:
+                continue
+            assert r.tokens == oracle_tokens(params, cfg, proc, p, im, 5)
+
+    run(False)
+    run(True)
