@@ -55,7 +55,10 @@ def test_spec_engine_identical_to_plain(setup):
     subs = [((p, im), dict(max_new_tokens=m))
             for (p, im, m) in zip(prompts, images, [5, 9, 3, 7])]
     base, _ = run_engine(params, cfg, proc, subs, spec_k=0)
-    for k in (2, 4):
+    # k=16 pins the deep-draft config (drafts deeper than several requests'
+    # whole budgets — clamping + full-accept bookkeeping) used by the long-
+    # workload serving arm (scripts/run_round4_queue4.sh).
+    for k in (2, 4, 16):
         spec, _ = run_engine(params, cfg, proc, subs, spec_k=k)
         assert spec == base, (k, spec, base)
 
