@@ -725,6 +725,24 @@ class ContinuousBatcher:
         # it right behind each upload.
         self._pixel_lut = jnp.asarray(
             processing.pixel_lut(), dtype=self.cache_dtype)
+        # Elementwise-affine replacement for the LUT gather (the gather runs
+        # at ~127M elem/s on the TPU VPU — 302 ms/run in the serving trace).
+        # Used ONLY if this backend's fp32 multiply-add reproduces the LUT
+        # bit-exactly in cache_dtype over the whole 0..255 ramp (768 values,
+        # checked here on device once); any ulp/FMA mismatch keeps the
+        # bit-exact-by-construction gather.
+        add, mul = processing.pixel_affine_coeffs()
+        self._pixel_aff = (jnp.asarray(add), jnp.asarray(mul))
+        ramp = jnp.broadcast_to(
+            jnp.arange(256, dtype=jnp.uint8)[None, None, None, :],
+            (1, 3, 1, 256))
+        via_aff = processing.apply_pixel_affine(
+            *self._pixel_aff, ramp, self.cache_dtype)
+        self.pixel_affine = bool(
+            jnp.all(processing.apply_pixel_lut(self._pixel_lut, ramp)
+                    == via_aff))
+        if not self.pixel_affine:
+            self._pixel_aff = None
         # HF fast tokenizers are not re-entrant ("Already borrowed"): the
         # worker and an engine-thread inline preprocess may target different
         # requests concurrently, so the processor call itself is locked.
@@ -1072,7 +1090,11 @@ class ContinuousBatcher:
                         self._staged = None
             if pix_u8 is None:
                 pix_u8 = jnp.asarray(np.stack([p[2] for p in preps], axis=0))
-            pix_dev = processing.apply_pixel_lut(self._pixel_lut, pix_u8)
+            if self._pixel_aff is not None:
+                pix_dev = processing.apply_pixel_affine(
+                    *self._pixel_aff, pix_u8, self.cache_dtype)
+            else:
+                pix_dev = processing.apply_pixel_lut(self._pixel_lut, pix_u8)
             ids_dev = jnp.asarray(ids)
             valid_dev = jnp.asarray(valid)
             self.host_t["h2d"] += time.perf_counter() - t_h2d0

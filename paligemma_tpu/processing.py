@@ -151,6 +151,44 @@ def apply_pixel_lut(lut: jnp.ndarray, pix_u8: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def pixel_affine_coeffs(
+    rescale_factor: float = 1 / 255.0,
+    image_mean=IMAGENET_STANDARD_MEAN,
+    image_std=IMAGENET_STANDARD_STD,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-channel fp32 ``(add, mul)`` so that ``u * mul + add`` is the
+    rescale/normalize affine: mul = rescale/std, add = -mean/std (both
+    rounded once from float64).
+
+    Candidate only: fp32 multiply-add can differ from the host pipeline's
+    float64->float32 double rounding by an ulp, and XLA may or may not fuse
+    it into an FMA — so a consumer MUST verify the candidate ON ITS OWN
+    BACKEND against `pixel_lut` over the full 0..255 ramp in the consumer
+    dtype (768 values, one tiny dispatch) and fall back to the gather on
+    any mismatch (`ContinuousBatcher.__init__` does exactly this). The
+    payoff: the serving trace showed the 4.8M-element per-group LUT gather
+    running at ~127M elem/s on the VPU (302 ms/run, 8.8% of serving device
+    time) while the elementwise affine is HBM-bound (~0.2 ms).
+    """
+    mean = np.asarray(image_mean, np.float64)
+    std = np.asarray(image_std, np.float64)
+    mul = (np.float64(rescale_factor) / std).astype(np.float32)
+    add = (-mean / std).astype(np.float32)
+    return add, mul
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def apply_pixel_affine(add, mul, pix_u8: jnp.ndarray, out_dtype):
+    """(B, 3, H, W) uint8 -> (B, 3, H, W) out_dtype via fp32 multiply-add.
+
+    Drop-in for `apply_pixel_lut` ONLY after the ramp-equality check in the
+    consumer dtype passes on the executing backend (see
+    `pixel_affine_coeffs`)."""
+    x = pix_u8.astype(jnp.float32)
+    y = x * mul[None, :, None, None] + add[None, :, None, None]
+    return y.astype(out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def preprocess_jit(raw_images, height: int, width: int):
     """On-device batched preprocessing: (B, H0, W0, 3) uint8 -> (B, 3, H, W) f32.

@@ -228,6 +228,7 @@ def main():
     out["join_groups"] = eng.join_groups
     out["staged_hits"] = eng.staged_hits
     out["staged_misses"] = eng.staged_misses
+    out["pixel_affine"] = eng.pixel_affine
     if args.spec_ks:
         out["spec_ks"] = list(eng.spec_ks)
         out["spec_k_chunks"] = {

@@ -726,6 +726,7 @@ def make_handler(engine: Engine, batcher=None, admission: Admission = None,
                     prefill_cache_hits=b.prefill_cache_hits,
                     staged_upload_hits=b.staged_hits,
                     staged_upload_misses=b.staged_misses,
+                    pixel_affine=b.pixel_affine,
                 )
                 if b.spec_k:
                     log = b.spec_mode_log

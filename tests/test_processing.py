@@ -220,3 +220,66 @@ def test_pixel_lut_nontrivial_mean_std():
         apply_pixel_lut(jnp.asarray(lut), jnp.asarray(hwc.transpose(2, 0, 1)[None]))
     )[0]
     assert np.array_equal(dev, host.astype(np.float32))
+
+
+def test_pixel_affine_matches_lut_when_ramp_check_passes():
+    """The affine fast path replaces the LUT gather ONLY when the full
+    0..255 ramp matches in the consumer dtype on the executing backend
+    (the exact gate `ContinuousBatcher.__init__` applies). This pins that
+    (a) the gate's equality over the ramp implies equality on arbitrary
+    pixel batches (the ramp covers every possible byte), and (b) the gate
+    passes at the engine's bf16 cache dtype on this backend."""
+    import jax.numpy as jnp
+
+    from paligemma_tpu.processing import (
+        apply_pixel_affine,
+        apply_pixel_lut,
+        pixel_affine_coeffs,
+        pixel_lut,
+    )
+
+    add, mul = pixel_affine_coeffs()
+    ramp = jnp.broadcast_to(
+        jnp.arange(256, dtype=jnp.uint8)[None, None, None, :], (1, 3, 1, 256))
+    rng = np.random.RandomState(5)
+    pix = jnp.asarray(rng.randint(0, 256, (2, 3, 6, 7), np.uint8))
+    for dtype in (jnp.bfloat16, jnp.float32):
+        lut = jnp.asarray(pixel_lut(), dtype=dtype)
+        gate = bool(jnp.all(
+            apply_pixel_lut(lut, ramp)
+            == apply_pixel_affine(jnp.asarray(add), jnp.asarray(mul), ramp,
+                                  dtype)))
+        if dtype == jnp.bfloat16:
+            assert gate, "bf16 ramp gate should pass on CPU/TPU fp32 madd"
+        if gate:
+            a = np.asarray(apply_pixel_affine(
+                jnp.asarray(add), jnp.asarray(mul), pix, dtype
+            ).astype(jnp.float32))
+            b = np.asarray(apply_pixel_lut(lut, pix).astype(jnp.float32))
+            assert np.array_equal(a, b), dtype
+
+
+def test_engine_pixel_affine_gate_exposed():
+    """The engine records which pixel path it selected; whichever it is,
+    its join-group pixels remain pinned by the engine-vs-batch-1 oracle
+    tests (test_continuous.py) — here just assert the gate ran and the
+    fallback invariant holds."""
+    import jax.numpy as jnp
+
+    from paligemma_tpu.config import tiny_config
+    from paligemma_tpu.continuous import ContinuousBatcher
+    from paligemma_tpu.models import paligemma
+    from paligemma_tpu.processing import (
+        ByteTokenizer, PaliGemmaProcessor, align_config)
+    import jax
+
+    tok = ByteTokenizer()
+    cfg = tiny_config()
+    proc = PaliGemmaProcessor(
+        tok, cfg.vision_config.num_image_tokens, cfg.vision_config.image_size)
+    cfg = align_config(cfg, proc)
+    params = paligemma.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    eng = ContinuousBatcher(params, cfg, proc, n_slots=2,
+                            cache_dtype=jnp.float32)
+    assert isinstance(eng.pixel_affine, bool)
+    assert eng.pixel_affine == (eng._pixel_aff is not None)
