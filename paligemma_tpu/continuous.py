@@ -731,8 +731,8 @@ class ContinuousBatcher:
         # bit-exactly in cache_dtype over the whole 0..255 ramp (768 values,
         # checked here on device once); any ulp/FMA mismatch keeps the
         # bit-exact-by-construction gather.
-        add, mul = processing.pixel_affine_coeffs()
-        self._pixel_aff = (jnp.asarray(add), jnp.asarray(mul))
+        center, mul = processing.pixel_affine_coeffs()
+        self._pixel_aff = (jnp.asarray(center), jnp.asarray(mul))
         ramp = jnp.broadcast_to(
             jnp.arange(256, dtype=jnp.uint8)[None, None, None, :],
             (1, 3, 1, 256))

@@ -156,36 +156,43 @@ def pixel_affine_coeffs(
     image_mean=IMAGENET_STANDARD_MEAN,
     image_std=IMAGENET_STANDARD_STD,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-channel fp32 ``(add, mul)`` so that ``u * mul + add`` is the
-    rescale/normalize affine: mul = rescale/std, add = -mean/std (both
-    rounded once from float64).
+    """Per-channel fp32 ``(center, mul)`` so that ``(u - center) * mul`` is
+    the rescale/normalize affine: center = mean/rescale (127.5 for the
+    imagenet-standard constants — exact in fp32), mul = rescale/std.
 
-    Candidate only: fp32 multiply-add can differ from the host pipeline's
-    float64->float32 double rounding by an ulp, and XLA may or may not fuse
-    it into an FMA — so a consumer MUST verify the candidate ON ITS OWN
-    BACKEND against `pixel_lut` over the full 0..255 ramp in the consumer
-    dtype (768 values, one tiny dispatch) and fall back to the gather on
-    any mismatch (`ContinuousBatcher.__init__` does exactly this). The
-    payoff: the serving trace showed the 4.8M-element per-group LUT gather
-    running at ~127M elem/s on the VPU (302 ms/run, 8.8% of serving device
-    time) while the elementwise affine is HBM-bound (~0.2 ms).
+    The subtract-first form is deliberate: the algebraically equal
+    ``u * mul + add`` suffers catastrophic cancellation at the mean pixel
+    (u*mul ~ 1 there), amplifying mul's half-ulp rounding ~60 fp32 ulps —
+    and the u=127 output (-1/255) sits only ~15 ulps from an exact bf16
+    rounding midpoint, so the madd form flips that byte's bf16 value on
+    any backend that doesn't fuse an FMA (measured: TPU flips it, XLA:CPU
+    fuses and doesn't). ``(u - center)`` is exact, leaving ONE fp32
+    rounding total — inside the margin on every backend.
+
+    Still a candidate only: a consumer MUST verify it ON ITS OWN BACKEND
+    against `pixel_lut` over the full 0..255 ramp in the consumer dtype
+    (768 values, one tiny dispatch) and fall back to the gather on any
+    mismatch (`ContinuousBatcher.__init__` does exactly this). The payoff:
+    the serving trace showed the 4.8M-element per-group LUT gather running
+    at ~127M elem/s on the VPU (302 ms/run, 8.8% of serving device time)
+    while the elementwise affine is HBM-bound (~0.2 ms).
     """
     mean = np.asarray(image_mean, np.float64)
     std = np.asarray(image_std, np.float64)
+    center = (mean / np.float64(rescale_factor)).astype(np.float32)
     mul = (np.float64(rescale_factor) / std).astype(np.float32)
-    add = (-mean / std).astype(np.float32)
-    return add, mul
+    return center, mul
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
-def apply_pixel_affine(add, mul, pix_u8: jnp.ndarray, out_dtype):
-    """(B, 3, H, W) uint8 -> (B, 3, H, W) out_dtype via fp32 multiply-add.
+def apply_pixel_affine(center, mul, pix_u8: jnp.ndarray, out_dtype):
+    """(B, 3, H, W) uint8 -> (B, 3, H, W) out_dtype via fp32 subtract-scale.
 
     Drop-in for `apply_pixel_lut` ONLY after the ramp-equality check in the
     consumer dtype passes on the executing backend (see
     `pixel_affine_coeffs`)."""
     x = pix_u8.astype(jnp.float32)
-    y = x * mul[None, :, None, None] + add[None, :, None, None]
+    y = (x - center[None, :, None, None]) * mul[None, :, None, None]
     return y.astype(out_dtype)
 
 

@@ -238,7 +238,7 @@ def test_pixel_affine_matches_lut_when_ramp_check_passes():
         pixel_lut,
     )
 
-    add, mul = pixel_affine_coeffs()
+    center, mul = pixel_affine_coeffs()
     ramp = jnp.broadcast_to(
         jnp.arange(256, dtype=jnp.uint8)[None, None, None, :], (1, 3, 1, 256))
     rng = np.random.RandomState(5)
@@ -247,13 +247,13 @@ def test_pixel_affine_matches_lut_when_ramp_check_passes():
         lut = jnp.asarray(pixel_lut(), dtype=dtype)
         gate = bool(jnp.all(
             apply_pixel_lut(lut, ramp)
-            == apply_pixel_affine(jnp.asarray(add), jnp.asarray(mul), ramp,
+            == apply_pixel_affine(jnp.asarray(center), jnp.asarray(mul), ramp,
                                   dtype)))
         if dtype == jnp.bfloat16:
-            assert gate, "bf16 ramp gate should pass on CPU/TPU fp32 madd"
+            assert gate, "bf16 ramp gate should pass on CPU/TPU fp32 subtract-scale"
         if gate:
             a = np.asarray(apply_pixel_affine(
-                jnp.asarray(add), jnp.asarray(mul), pix, dtype
+                jnp.asarray(center), jnp.asarray(mul), pix, dtype
             ).astype(jnp.float32))
             b = np.asarray(apply_pixel_lut(lut, pix).astype(jnp.float32))
             assert np.array_equal(a, b), dtype
