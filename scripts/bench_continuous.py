@@ -44,6 +44,10 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", choices=["none", "int8"], default="none")
+    ap.add_argument("--res", type=int, default=224, choices=[224, 448, 896],
+                    help="model resolution variant (224/448/896 configs — "
+                         "448 quadruples image tokens: serving becomes "
+                         "prefill-bound, the regime a8 targets)")
     ap.add_argument("--n_slots", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--n_req", type=int, default=32,
@@ -110,7 +114,13 @@ def main():
     runtime.set_prefill_a8(bool(args.prefill_a8))
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    cfg = paligemma_3b_pt_224() if on_tpu else tiny_config()
+    if on_tpu:
+        from paligemma_tpu.config import (
+            paligemma_3b_pt_448, paligemma_3b_pt_896)
+        cfg = {224: paligemma_3b_pt_224, 448: paligemma_3b_pt_448,
+               896: paligemma_3b_pt_896}[args.res]()
+    else:
+        cfg = tiny_config()
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     tok = ByteTokenizer()
@@ -208,6 +218,7 @@ def main():
 
     out = {
         "quant": args.quant,
+        "res": args.res,
         "n_slots": args.n_slots,
         "chunk": args.chunk,
         "n_req": n_req,
@@ -251,6 +262,8 @@ def main():
         out["window_buckets"] = list(eng.window_buckets)
         out["window_resizes"] = eng.window_resizes
     tag = "" if args.quant == "none" else f"_{args.quant}"
+    if args.res != 224:
+        tag += f"_res{args.res}"
     if (args.n_slots, args.chunk) != (8, 16):
         tag += f"_s{args.n_slots}c{args.chunk}"
     if args.n_req != 32:
