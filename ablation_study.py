@@ -385,9 +385,27 @@ def main(argv=None):
                         "paper-analog beyond the reference's fixed 224; "
                         "decode is geometry-identical, the no-cache arm "
                         "pays the larger bidirectional prefill per step)")
+    p.add_argument("--prefill_a8", action="store_true",
+                   help="with --quant int8: route prefill-shaped GEMMs "
+                        "(T >= runtime.a8_min_seq) through both-operand-"
+                        "int8 MXU matmuls. In this grid it accelerates the "
+                        "NO-CACHE arm (full >=128-token forwards per step) "
+                        "and the untimed prefill — so it REDUCES the "
+                        "headline cache-speedup ratio while making both "
+                        "arms faster in absolute terms")
     args = p.parse_args(argv)
     if args.res != 224 and args.output_dir == OUTPUT_DIR:
         args.output_dir = f"{OUTPUT_DIR}_{args.res}"
+    if args.prefill_a8:
+        if args.quant != "int8":
+            p.error("--prefill_a8 requires --quant int8")
+        if args.output_dir in (OUTPUT_DIR, f"{OUTPUT_DIR}_int8"):
+            args.output_dir = f"{OUTPUT_DIR}_int8_a8"
+    from paligemma_tpu import runtime as _rt
+
+    # CLI-authoritative over the PALIGEMMA_PREFILL_A8 env default, set
+    # before any jit trace (same rule as bench_continuous/server).
+    _rt.set_prefill_a8(bool(args.prefill_a8))
     if args.smoke and not os.path.normpath(args.output_dir).endswith("_smoke"):
         # A smoke run must never clobber measured grids (results_detailed /
         # summary_statistics are the round's published data — this includes
