@@ -764,9 +764,18 @@ class ContinuousBatcher:
         # carry other still-pending requests' pixels — discarded with the
         # trash-row scatter, so content there is free); any mismatch
         # (cancellation, reorder, partial group) falls back to the inline
-        # upload and restages. (ids tuple, device uint8 stack) under _prep_cv;
-        # the upload itself runs outside the lock on the worker thread.
-        self._staged: Optional[tuple] = None
+        # upload and restages. Entries are (ids tuple, device uint8 stack)
+        # under _prep_cv; uploads run outside the lock on the worker thread.
+        # DEPTH 2 (r4 trace finding): with a single staged slot the device
+        # idled up to ~740 ms/run at std waiting for wave uploads —
+        # per-wave preprocess+upload (~270-370 ms on this 1-core host)
+        # jitters against the ~550 ms cycle, and one slot gives the worker
+        # no buffer to absorb it. Two-deep staging lets good cycles bank a
+        # wave ahead; on any head mismatch or partial-width join the tail
+        # is dropped (group boundaries shifted) and restaged — correctness
+        # never depends on a hit.
+        self._staged: deque = deque()
+        self.stage_depth = 2
         self.staged_hits = 0
         self.staged_misses = 0
 
@@ -939,41 +948,69 @@ class ContinuousBatcher:
             self._try_stage()
 
     def _try_stage(self) -> None:
-        """Worker-side: upload the next join group's stacked uint8 pixels
-        ahead of the join (see the staged-upload comment in ``__init__``).
-        Fires only when the first n_slots uncancelled pending requests all
-        have preps ready; single-joiner groups (g_b == 1) never stage."""
+        """Worker-side: upload the next join waves' stacked uint8 pixels
+        ahead of their joins, up to ``stage_depth`` waves deep (see the
+        staged-upload comment in ``__init__``). A wave stages only when all
+        n_slots of its uncancelled pending requests have preps ready;
+        single-joiner groups (g_b == 1) never stage."""
         if self.n_slots < 2:
             return
+        uploads = []
         with self._prep_cv:
             if self._prep_stop:
                 return
-            head = []
+            # Partition the preprocessed pending head into consecutive
+            # n_slots-sized waves (stop at the first not-yet-ready request).
+            groups, cur = [], []
             for r in self.pending:
                 if r.cancelled:
                     continue
                 if r.prep is None:
-                    return  # head not fully preprocessed yet (or one failed)
-                head.append(r)
-                if len(head) == self.n_slots:
                     break
-            if len(head) < self.n_slots:
-                return
-            ids = tuple(r.id for r in head)
-            if self._staged is not None:
-                if self._staged[0] == ids:
-                    return  # current head already staged
-                self._staged = None  # head moved since staging: drop, redo
-            pix = [r.prep[2] for r in head]
+                cur.append(r)
+                if len(cur) == self.n_slots:
+                    groups.append(cur)
+                    cur = []
+                    if len(groups) >= self.stage_depth:
+                        break
+            # Staged entries must prefix-match the wave sequence positionally
+            # (the engine pops whole waves from the head); drop the tail from
+            # the first mismatch.
+            keep = len(self._staged)
+            for i, (sids, _) in enumerate(self._staged):
+                if (i >= len(groups)
+                        or sids != tuple(r.id for r in groups[i])):
+                    keep = i
+                    break
+            while len(self._staged) > keep:
+                self._staged.pop()
+            for g in groups[len(self._staged):]:
+                uploads.append(
+                    (tuple(r.id for r in g), [r.prep[2] for r in g]))
         # Stack + upload OUTSIDE the lock: the transfer is the slow part and
         # must not block submit()/_take_prep(). Single worker thread = no
         # concurrent stagers.
-        t0 = time.perf_counter()
-        dev = jnp.asarray(np.stack(pix, axis=0))
-        self.host_t["h2d_staged"] += time.perf_counter() - t0
-        with self._prep_cv:
-            if self._staged is None:
-                self._staged = (ids, dev)
+        for ids, pix in uploads:
+            t0 = time.perf_counter()
+            dev = jnp.asarray(np.stack(pix, axis=0))
+            self.host_t["h2d_staged"] += time.perf_counter() - t0
+            with self._prep_cv:
+                # Append only if the wave still sits right after the staged
+                # prefix in pending (the engine may have consumed the head
+                # or cancelled requests mid-upload; a stale wave is dropped
+                # — staging is best-effort, never load-bearing).
+                pos = len(self._staged)
+                want = []
+                for r in self.pending:
+                    if r.cancelled:
+                        continue
+                    want.append(r.id)
+                    if len(want) == (pos + 1) * self.n_slots:
+                        break
+                if (len(want) == (pos + 1) * self.n_slots
+                        and tuple(want[pos * self.n_slots:]) == ids
+                        and pos < self.stage_depth):
+                    self._staged.append((ids, dev))
 
     def _ensure_prefetch(self) -> None:
         if not self.prefetch or self._prefetch_thread is not None:
@@ -1078,16 +1115,20 @@ class ContinuousBatcher:
             pix_u8 = None
             if g_b > 1:
                 with self._prep_cv:
-                    if self._staged is not None:
-                        sids, sdev = self._staged
+                    if self._staged:
+                        sids, sdev = self._staged[0]
                         if sids[:g] == tuple(r.id for r in reqs):
                             pix_u8 = sdev
                             self.staged_hits += 1
+                            self._staged.popleft()
+                            if g != self.n_slots:
+                                # Partial-width join: wave boundaries in
+                                # pending shifted by g — deeper staged
+                                # entries no longer align. Drop; restage.
+                                self._staged.clear()
                         else:
                             self.staged_misses += 1
-                        # Consumed or stale either way: the worker restages
-                        # for the new pending head.
-                        self._staged = None
+                            self._staged.clear()
             if pix_u8 is None:
                 pix_u8 = jnp.asarray(np.stack([p[2] for p in preps], axis=0))
             if self._pixel_aff is not None:

@@ -155,11 +155,13 @@ def analyze(out_dir: str, chunks: int) -> dict:
         # (unobserved) case of several Modules lines on one plane it sums
         # per-line gaps rather than wall-clock idle.
         modules, idle_ms = {}, 0.0
+        gap_pairs = defaultdict(lambda: [0.0, 0])  # "prev->next" -> [ms, n]
+        gap_top = []  # (ms, prev, next) largest individual idles
         for line in plane.lines:
             if line.name != "XLA Modules":
                 continue
             evs = sorted(line.events, key=lambda e: e.offset_ps)
-            prev_end = None
+            prev_end, prev_base = None, None
             for ev in evs:
                 meta = plane.event_metadata[ev.metadata_id]
                 base = (meta.display_name or meta.name).split("(")[0]
@@ -167,9 +169,21 @@ def analyze(out_dir: str, chunks: int) -> dict:
                 m["total_ms"] += ev.duration_ps / 1e9
                 m["count"] += 1
                 if prev_end is not None and ev.offset_ps > prev_end:
-                    idle_ms += (ev.offset_ps - prev_end) / 1e9
+                    g = (ev.offset_ps - prev_end) / 1e9
+                    idle_ms += g
+                    # Attribution: which program boundary the device idled
+                    # at — separates the per-cycle fetch/dispatch turnaround
+                    # (chunk->prefill, chunk->chunk) from startup and
+                    # weather stalls. Only gaps > 2 ms (the dispatch RPC
+                    # floor) are itemized.
+                    if g > 2.0:
+                        key = f"{prev_base}->{base}"
+                        gap_pairs[key][0] += g
+                        gap_pairs[key][1] += 1
+                        gap_top.append((round(g, 1), key))
                 end = ev.offset_ps + ev.duration_ps
-                prev_end = end if prev_end is None else max(prev_end, end)
+                if prev_end is None or end > prev_end:
+                    prev_end, prev_base = end, base
         for m in modules.values():
             m["total_ms"] = round(m["total_ms"], 1)
         summary["planes"][plane.name] = {
@@ -178,6 +192,11 @@ def analyze(out_dir: str, chunks: int) -> dict:
             "modules": dict(sorted(
                 modules.items(), key=lambda kv: -kv[1]["total_ms"])),
             "module_gap_ms": round(idle_ms, 1),
+            "gap_by_boundary": {
+                k: {"total_ms": round(v[0], 1), "count": v[1]}
+                for k, v in sorted(gap_pairs.items(),
+                                   key=lambda kv: -kv[1][0])},
+            "gap_top": sorted(gap_top, reverse=True)[:12],
             "top_ops": [
                 {"name": n, "total_ms": round(ps / 1e9, 4), "count": c,
                  "ms_per_token": round(ps / 1e9 / (chunks * CHUNK), 5),
