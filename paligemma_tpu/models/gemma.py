@@ -162,13 +162,17 @@ def init_params(cfg: GemmaConfig, key: jax.Array, dtype: jnp.dtype = jnp.float32
 
 
 def _proj(x: jnp.ndarray, w) -> jnp.ndarray:
-    from paligemma_tpu.ops.pallas_quant import Q4Tensor, q4_matmul
+    from paligemma_tpu.ops.pallas_quant import (
+        Q4A8Tensor, Q4Tensor, q4_matmul, q4a8_matmul,
+    )
     from paligemma_tpu.quantization import QTensor, qproj
 
     if isinstance(w, QTensor):
         return qproj(x, w)
     if isinstance(w, Q4Tensor):
         return q4_matmul(x, w.packed, w.scale)
+    if isinstance(w, Q4A8Tensor):
+        return q4a8_matmul(x, w.packed, w.scale)
     return jnp.einsum(
         "btd,de->bte", x, w, preferred_element_type=jnp.float32
     ).astype(x.dtype)

@@ -220,6 +220,214 @@ def q8_matmul(
     return out.reshape(b, t, o)
 
 
+# ---------------------------------------------------------------------------
+# w4a8: int4 weights + int8 activations on the MXU (round-4 re-litigation)
+# ---------------------------------------------------------------------------
+#
+# The round-3 int4 kernel above lost to its VPU unpack chain (~7 int ops per
+# packed byte feeding bf16 MXU operands — REPORT.md int4 section banked it at
+# 4.47 ms/tok vs int8's 3.67, naming "an s8xs8 MXU formulation" as the only
+# path forward). This is that formulation, unblocked by the a8 machinery
+# (quantization.qproj_a8 proved s8xs8 MXU feeds on this backend):
+#
+#   byte = (q_hi << 4) | (q_lo + 8)        q in [-7, 7], so u_lo in [1, 15]
+#                                          and the byte never wraps.
+#   dot1 = P          @ x_s8 -> s32        packed bytes consumed DIRECTLY
+#   dot2 = (P & 0xF0) @ x_s8 -> s32        = 16 * (q_hi @ x): masking the low
+#                                          nibble of the sign-extended byte
+#                                          leaves exactly 16*q_hi — the ONE
+#                                          unpack op per packed byte
+#   hi   = dot2                            (the /16 folds into the hi scales)
+#   lo   = dot1 - dot2 - 8*rowsum(x)       exact integer nibble recovery
+#
+# vs the old kernel: one bitwise mask per packed byte (or per FOUR bytes in
+# the int32-bitcast variant) on PACKED element counts instead of ~7 ops on
+# unpacked, no int->bf16 operand converts, and s32-exact accumulation.
+# Activations are quantized per row (same contract as qproj_a8); output is
+# rescaled by (per-row activation scale) x (per-output-channel weight scale).
+# Unpack-op variants (measured in w4a8_kernel_bench.json):
+#   "and32"   widen->mask->trunc (3 VPU passes; always compiles)
+#   "and8"    native s8 mask (1 pass, if Mosaic lowers s8 bitwise ops)
+#   "bitcast" mask 4 packed bytes per int32 lane via pltpu.bitcast (~1/4 pass)
+
+
+class Q4A8Tensor(NamedTuple):
+    """MXU-layout packed int4 kernel: packed (..., in, out//2) int8 with
+    byte = (q_hi << 4) | (q_lo + 8), scale (..., 1, out) fp32. Block-local
+    split-half channel order (channel c -> lo nibble of packed column c,
+    channel c + block/2 -> hi nibble), same ``block_for`` blocking as
+    ``Q4Tensor``."""
+
+    packed: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def pack_int4_mxu(q: jnp.ndarray, block_o: int = 0) -> jnp.ndarray:
+    """Pack int8 values in [-7, 7] (..., D, O) -> (..., D, O//2) int8 in the
+    w4a8 MXU layout: within each ``block_o`` output-channel block, channel c
+    rides the (offset +8) low nibble of packed column c and channel
+    c + block_o/2 the signed high nibble."""
+    *lead, d, o = q.shape
+    block_o = block_o or block_for(o)
+    assert o % block_o == 0, (o, block_o)
+    half = block_o // 2
+    qb = q.reshape(*lead, d, o // block_o, block_o).astype(jnp.int32)
+    lo = qb[..., :half] + 8          # [1, 15]
+    hi = (qb[..., half:] & 15) << 4  # signed nibble bits
+    packed = (hi | lo).astype(jnp.int8)
+    return packed.reshape(*lead, d, o // 2)
+
+
+def unpack_int4_mxu(packed: jnp.ndarray, block_o: int = 0) -> jnp.ndarray:
+    """Inverse of ``pack_int4_mxu`` (XLA reference path)."""
+    *lead, d, oh = packed.shape
+    block_o = block_o or block_for(oh * 2)
+    half = block_o // 2
+    pb = packed.reshape(*lead, d, oh // half, half).astype(jnp.int32)
+    lo = (pb & 15) - 8
+    hi = pb >> 4  # arithmetic shift of the sign-extended byte: exact q_hi
+    out = jnp.concatenate([lo, hi], axis=-1)
+    return out.reshape(*lead, d, oh * 2).astype(jnp.int8)
+
+
+def quantize_rows_s8(x: jnp.ndarray):
+    """Per-row symmetric int8 activation quantization (same contract as
+    quantization.qproj_a8): returns (xq int8, xscale fp32 rows, rowsum s32)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xscale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.round(xf / xscale).astype(jnp.int8)
+    rowsum = jnp.sum(xq.astype(jnp.int32), axis=-1, keepdims=True)
+    return xq, xscale, rowsum
+
+
+def _mask_hi_nibbles(p: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """(block_d, half) packed int8 -> int8 tile equal to ``p & 0xF0``
+    (= 16 * signed hi nibble, since the offset low nibble is >= 0)."""
+    if mode == "and8":
+        return p & jnp.int8(-16)
+    if mode == "bitcast":
+        # 4 packed bytes per int32 lane: the mask is byte-local, so the
+        # int8<->int32 reinterpretation order doesn't matter.
+        p32 = pltpu.bitcast(p, jnp.int32)
+        mask = jnp.int32(-252645136)  # 0xF0F0F0F0
+        return pltpu.bitcast(p32 & mask, jnp.int8)
+    if mode == "noop":
+        # Timing ablation ONLY (wrong math): dot2 re-reads p itself, isolating
+        # the unpack cost from the two-dot structure (scripts/bench_w4a8.py).
+        return p
+    # "and32": widen -> mask -> truncate (always compiles)
+    return (p.astype(jnp.int32) & -16).astype(jnp.int8)
+
+
+def _q4a8_kernel(x_ref, p_ref, s_ref, xs_ref, rs_ref, o_ref,
+                 acc1_ref, acc2_ref, *, half, unpack):
+    """One (out-block, d-block) step: packed bytes feed the MXU directly
+    (dot1); one bitwise-mask pass recovers 16*q_hi for dot2; s32
+    accumulation across d-blocks; exact nibble recovery + fp32 rescale at
+    the last d-block (the hi-channel scales arrive pre-divided by 16)."""
+    db = pl.program_id(1)
+
+    @pl.when(db == 0)
+    def _init():
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    x = x_ref[...]  # (T, block_d) int8
+    p = p_ref[...]  # (block_d, half) int8 packed
+    a = _mask_hi_nibbles(p, unpack)  # = 16 * q_hi, still int8
+    acc1_ref[:] += jax.lax.dot_general(
+        x, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc2_ref[:] += jax.lax.dot_general(
+        x, a, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+    @pl.when(db == pl.num_programs(1) - 1)
+    def _finalize():
+        xs = xs_ref[...]  # (T, 1) fp32 activation row scales
+        rs = rs_ref[...]  # (T, 1) s32 activation row sums
+        lo = (acc1_ref[...] - acc2_ref[...] - 8 * rs).astype(jnp.float32)
+        hi = acc2_ref[...].astype(jnp.float32)  # 16x folded into s_ref row 1
+        o_ref[:, :half] = (lo * xs * s_ref[0:1, :]).astype(o_ref.dtype)
+        o_ref[:, half:] = (hi * xs * s_ref[1:2, :]).astype(o_ref.dtype)
+
+
+# Default unpack variant for the real backend (set from the measured winner
+# in w4a8_kernel_bench.json; "and32" always compiles).
+UNPACK_MODE = "and32"
+
+
+def q4a8_matmul(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    block_o: int = 0,
+    unpack: str = "",
+) -> jnp.ndarray:
+    """x (B, T, D) @ w4a8-packed (D, O//2) -> (B, T, O) in x.dtype.
+
+    HBM streams only the packed bytes (half of int8); both MXU operands are
+    8-bit; the unpack is one bitwise-mask pass per packed byte. Exact integer
+    arithmetic throughout (s32 accumulation; max |acc| < 2^28 at D=16384)."""
+    b, t, d = x.shape
+    oh = packed.shape[-1]
+    o = oh * 2
+    block_o = block_o or block_for(o)
+    assert o % block_o == 0
+    half = block_o // 2
+    block_d = 2048 if d % 2048 == 0 else d
+    # pltpu.bitcast is TPU-only; the interpreter falls back to the widened
+    # mask (identical math).
+    unpack = unpack or ("and32" if _interpret() else UNPACK_MODE)
+    xq, xscale, rowsum = quantize_rows_s8(x.reshape(b * t, d))
+    # Same (2, half) scale regrouping as q4_matmul: row 0 = lo-half channels,
+    # row 1 = hi-half (lane-offset slices are invalid Mosaic broadcasts).
+    # dot2 returns 16 * (q_hi @ x), so the hi-half scales absorb the /16.
+    s2 = (
+        scale.reshape(o // block_o, 2, half)
+        .transpose(1, 0, 2)
+        .reshape(2, o // 2)
+        .astype(jnp.float32)
+    )
+    s2 = s2.at[1].divide(16.0)
+
+    out = pl.pallas_call(
+        functools.partial(_q4a8_kernel, half=half, unpack=unpack),
+        grid=(o // block_o, d // block_d),
+        in_specs=[
+            pl.BlockSpec((b * t, block_d), lambda i, j: (0, j)),
+            pl.BlockSpec((block_d, half), lambda i, j: (j, i)),
+            pl.BlockSpec((2, half), lambda i, j: (0, i)),
+            pl.BlockSpec((b * t, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((b * t, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b * t, block_o), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * t, o), x.dtype),
+        scratch_shapes=[pltpu.VMEM((b * t, half), jnp.int32),
+                        pltpu.VMEM((b * t, half), jnp.int32)],
+        interpret=_interpret(),
+    )(xq, packed, s2, xscale, rowsum)
+
+    return out.reshape(b, t, o)
+
+
+def q4a8_matmul_xla(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    block_o: int = 0,
+) -> jnp.ndarray:
+    """XLA reference path for w4a8: unpack to int8, quantize activations the
+    same way, s8xs8 einsum. Materializes the unpacked tensor — correctness
+    oracle, not a serving path."""
+    w = unpack_int4_mxu(packed, block_o)
+    xq, xscale, _ = quantize_rows_s8(x.reshape(-1, x.shape[-1]))
+    acc = jnp.einsum("td,de->te", xq, w, preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xscale * scale.reshape(1, -1)
+    return y.astype(x.dtype).reshape(*x.shape[:-1], w.shape[-1])
+
+
 def q4_matmul_xla(
     x: jnp.ndarray,
     packed: jnp.ndarray,

@@ -78,7 +78,9 @@ def main():
     results["bf16_ms_per_tok"] = round(ms_bf, 3)
     log(f"bf16: {ms_bf:.3f} ms/token")
 
-    for mode in ("int8", "int4"):
+    modes = ("int8", "int4", "w4a8") if "--w4a8-only" not in sys.argv \
+        else ("w4a8",)
+    for mode in modes:
         qp = quantize_params(params, llm_only=True, mode=mode)
         jax.block_until_ready(qp)
         ms, toks = measure(qp, cfg, ids, pix, dtype)
@@ -103,8 +105,16 @@ def main():
                 jax.clear_caches()
         del qp
 
+    # Merge with the existing artifact so partial runs (--w4a8-only) refresh
+    # their arms without clobbering the full grid's other rows.
+    try:
+        with open("int4_bench.json") as f:
+            merged = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        merged = {}
+    merged.update(results)
     with open("int4_bench.json", "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     log(json.dumps(results))
 
 

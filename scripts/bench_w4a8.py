@@ -1,0 +1,82 @@
+"""Kernel-level w4a8 bench: which unpack variant reaches the packed-bytes
+floor on the decode weight streams?
+
+The model-level w4a8 arm (scripts/bench_int4.py) landed at 3.90 ms/token —
+better than round-3 int4's 4.47 but only at int8 parity (~3.8), far from the
+~1.9 ms packed-bytes floor. Hypothesis: the widen/mask/trunc unpack (3 VPU
+passes over the packed bytes) dominates. This times q4a8_matmul's unpack
+variants (and32 / and8 / bitcast / noop-ablation) against the int8 kernel
+and the streamed-bytes bounds, with the in-program loop protocol
+(_bench_util). Writes w4a8_kernel_bench.json.
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from _bench_util import make_looped, timed_looped  # noqa: E402
+from paligemma_tpu.ops.pallas_quant import (  # noqa: E402
+    pack_int4_mxu,
+    q4a8_matmul,
+    q8_matmul,
+)
+
+LOOP_N = 64
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16
+    shapes = {
+        "qkv (2048x2560)": (2048, 2560),
+        "gate_up (2048x32768)": (2048, 32768),
+        "down (16384x2048)": (16384, 2048),
+    }
+    results = {}
+    for name, (d, o) in shapes.items():
+        q4 = rng.integers(-7, 8, size=(d, o), dtype=np.int8)
+        scale = (rng.random((1, o), dtype=np.float32) + 0.5) * 0.01
+        packed = jnp.asarray(pack_int4_mxu(jnp.asarray(q4)))
+        q8 = jnp.asarray(q4)  # int8 stand-in with the same value range
+        s = jnp.asarray(scale)
+        x = jnp.asarray(rng.standard_normal((1, 1, d)), dtype)
+        jax.block_until_ready((packed, q8, x))
+
+        arms = {"int8": lambda x, w, s: q8_matmul(x, w, s)}
+        for mode in ("and32", "and8", "bitcast", "noop"):
+            arms[f"w4a8_{mode}"] = (
+                lambda x, w, s, m=mode: q4a8_matmul(x, w, s, 0, m)
+            )
+
+        for arm, fn in arms.items():
+            w = q8 if arm == "int8" else packed
+            try:
+                lf = make_looped(fn, LOOP_N)
+                _ = lf(x, w, s)
+                ms = timed_looped(lambda: lf(x, w, s), LOOP_N)
+                results[f"{name}/{arm}"] = round(ms, 4)
+                log(f"{name}: {arm} {ms:.4f} ms")
+            except Exception as e:  # noqa: BLE001
+                results[f"{name}/{arm}"] = f"FAIL {type(e).__name__}"
+                log(f"{name}: {arm} FAILED {str(e)[:200]}")
+
+        results[f"{name}/bound_int8_819GBs"] = round(d * o / 1e9 / 819 * 1e3, 4)
+        results[f"{name}/bound_w4_819GBs"] = round(d * o / 2 / 1e9 / 819 * 1e3, 4)
+
+    with open("w4a8_kernel_bench.json", "w") as f:
+        json.dump(results, f, indent=2)
+    log(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,8 +55,8 @@ def capture(out_dir: str, quant: str, chunks: int) -> None:
     t0 = time.time()
     params = paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype)
     jax.block_until_ready(params)
-    if quant == "int8":
-        params = quantize_params(params, llm_only=True)
+    if quant != "bf16":
+        params = quantize_params(params, llm_only=True, mode=quant)
         jax.block_until_ready(params)
     log(f"params ready ({time.time() - t0:.0f}s)")
 
@@ -209,7 +209,7 @@ def analyze(out_dir: str, chunks: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quant", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--quant", choices=["bf16", "int8", "int4", "w4a8"], default="bf16")
     ap.add_argument("--chunks", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--analyze_only", action="store_true")

@@ -207,6 +207,75 @@ def test_int4_generation_runs(params, cfg, sample_inputs):
     assert len(toks) == 4
 
 
+# ---------------------------------------------------------------------------
+# w4a8: int4 weights + int8 activations on the MXU (one-shift unpack)
+# ---------------------------------------------------------------------------
+
+
+def test_w4a8_pack_unpack_roundtrip():
+    from paligemma_tpu.ops.pallas_quant import pack_int4_mxu, unpack_int4_mxu
+
+    rng = np.random.RandomState(0)
+    q = rng.randint(-7, 8, (3, 64, 1024)).astype(np.int8)
+    packed = pack_int4_mxu(jnp.asarray(q))
+    assert packed.shape == (3, 64, 512) and packed.dtype == jnp.int8
+    back = unpack_int4_mxu(packed)
+    np.testing.assert_array_equal(np.asarray(back), q)
+
+
+def test_q4a8_matmul_exact_integer_oracle():
+    """The w4a8 kernel's nibble recovery (hi = dot2, lo = dot1 - 16*dot2 -
+    8*rowsum) is exact integer arithmetic: the kernel, the XLA reference
+    path, and a numpy s32 oracle must agree to the last bit (before the
+    shared fp32 rescale)."""
+    from paligemma_tpu.ops.pallas_quant import (
+        pack_int4_mxu, q4a8_matmul, q4a8_matmul_xla, quantize_rows_s8,
+    )
+
+    rng = np.random.RandomState(1)
+    d, o = 64, 1024
+    q = rng.randint(-7, 8, (d, o)).astype(np.int8)
+    scale = (rng.rand(1, o).astype(np.float32) + 0.5) * 0.01
+    x = jnp.asarray(rng.randn(2, 3, d).astype(np.float32))
+    packed = pack_int4_mxu(jnp.asarray(q))
+
+    out_k = q4a8_matmul(x, packed, jnp.asarray(scale))
+    out_x = q4a8_matmul_xla(x, packed, jnp.asarray(scale))
+    xq, xs, _ = quantize_rows_s8(x.reshape(6, d))
+    ref = (np.asarray(xq, np.int32) @ q.astype(np.int32)).astype(np.float32)
+    ref = (ref * np.asarray(xs) * scale).reshape(2, 3, o)
+    np.testing.assert_array_equal(np.asarray(out_k), ref)
+    np.testing.assert_array_equal(np.asarray(out_x).reshape(2, 3, o), ref)
+
+
+def test_w4a8_model_forward_close(params, cfg, sample_inputs):
+    """w4a8 adds per-row activation quantization on top of int4 weights, so
+    there is no exact dequant oracle at the model level (op-level exactness
+    is pinned above); the model must stay distributionally close to fp32."""
+    ids, pix = sample_inputs
+    ref = paligemma.forward_nocache(params, cfg, ids, pix)
+    qp = quantize_params(params, mode="w4a8")
+    from paligemma_tpu.ops.pallas_quant import Q4A8Tensor
+
+    assert isinstance(qp["llm"]["layers"]["qkv"], Q4A8Tensor)
+    assert qp["llm"]["layers"]["qkv"].packed.dtype == jnp.int8
+    out = paligemma.forward_nocache(qp, cfg, ids, pix)
+    ref_l = np.asarray(ref[0, -1]).astype(np.float64)
+    out_l = np.asarray(out[0, -1]).astype(np.float64)
+    cos = np.dot(ref_l, out_l) / (np.linalg.norm(ref_l) * np.linalg.norm(out_l))
+    assert cos > 0.98, cos
+
+
+def test_w4a8_generation_runs(params, cfg, sample_inputs):
+    ids, pix = sample_inputs
+    qp = quantize_params(params, mode="w4a8")
+    toks, _ = generation.generate(
+        qp, cfg, ids, pix, 4, eos_token_id=-1,
+        cache_dtype=jnp.float32, stop_at_eos=False,
+    )
+    assert len(toks) == 4
+
+
 def test_kv_row_quant_error_bound():
     """quantize_kv_rows: per-row amax/127 scale bounds the dequant error by
     half an int8 step per element (the int8-KV-cache fidelity argument)."""
