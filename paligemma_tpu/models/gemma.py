@@ -163,7 +163,8 @@ def init_params(cfg: GemmaConfig, key: jax.Array, dtype: jnp.dtype = jnp.float32
 
 def _proj(x: jnp.ndarray, w) -> jnp.ndarray:
     from paligemma_tpu.ops.pallas_quant import (
-        Q4A8Tensor, Q4Tensor, q4_matmul, q4a8_matmul,
+        Q4A8Tensor, Q4A8TiledTensor, Q4Tensor, q4_matmul, q4a8_matmul,
+        q4a8_matmul_tiled,
     )
     from paligemma_tpu.quantization import QTensor, qproj
 
@@ -173,6 +174,8 @@ def _proj(x: jnp.ndarray, w) -> jnp.ndarray:
         return q4_matmul(x, w.packed, w.scale)
     if isinstance(w, Q4A8Tensor):
         return q4a8_matmul(x, w.packed, w.scale)
+    if isinstance(w, Q4A8TiledTensor):
+        return q4a8_matmul_tiled(x, w.packed, w.scale)
     return jnp.einsum(
         "btd,de->bte", x, w, preferred_element_type=jnp.float32
     ).astype(x.dtype)
@@ -383,7 +386,13 @@ def _attention(
 def _mlp(cfg: GemmaConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
     """GeGLU: down(gelu_tanh(gate(x)) * up(x)) (reference: modeling_gemma.py:122-134).
 
-    gate and up are computed with one fused [gate | up] GEMM."""
+    gate and up are computed with one fused [gate | up] GEMM. In w4a8 mode
+    the whole MLP (both GEMVs + gating + requant) is ONE Pallas kernel —
+    per-call overhead was eating the 4-bit byte saving (pallas_quant)."""
+    from paligemma_tpu.ops.pallas_quant import Q4A8TiledTensor, mlp_w4a8
+
+    if isinstance(lp["gate_up"], Q4A8TiledTensor):
+        return mlp_w4a8(x, lp["gate_up"], lp["down"], cfg.intermediate_size)
     gu = _proj(x, lp["gate_up"])
     gate = gu[..., : cfg.intermediate_size]
     up = gu[..., cfg.intermediate_size :]

@@ -412,6 +412,349 @@ def q4a8_matmul(
     return out.reshape(b, t, o)
 
 
+def block_d_for(d: int) -> int:
+    """Contraction-axis block size: 2048 when it divides (the model's hidden
+    sizes), else the whole dim (tiny test geometries). Pack and matmul derive
+    it identically."""
+    return 2048 if d % 2048 == 0 else d
+
+
+def pack_int4_mxu_tiled(q: jnp.ndarray, block_o: int = 0,
+                        block_d: int = 0) -> jnp.ndarray:
+    """``pack_int4_mxu`` + re-layout to per-program-contiguous tiles:
+    (..., D, O) -> (..., O/block_o, D/block_d, block_d, block_o/2) int8.
+
+    Why: a kernel block of the flat (D, O/2) packing is a column slice —
+    ``half``-byte (256 B) DMA bursts with a row stride, which caps the
+    weight stream at ~230 GB/s on v5e (w4a8_kernel_bench.json, flat arms).
+    Tiling at pack time makes every grid step's weight block one contiguous
+    block_d*half-byte chunk, so the DMA engine runs full-rate. Same
+    block-local split-half nibble order within each tile."""
+    *lead, d, o = q.shape
+    block_o = block_o or block_for(o)
+    block_d = block_d or block_d_for(d)
+    half = block_o // 2
+    nb_o, nb_d = o // block_o, d // block_d
+    flat = pack_int4_mxu(q, block_o)  # (..., d, nb_o*half)
+    t = flat.reshape(*lead, nb_d, block_d, nb_o, half)
+    nl = len(lead)
+    perm = tuple(range(nl)) + (nl + 2, nl, nl + 1, nl + 3)
+    return t.transpose(*perm)
+
+
+def unpack_int4_mxu_tiled(packed: jnp.ndarray, block_o: int = 0) -> jnp.ndarray:
+    """Inverse of ``pack_int4_mxu_tiled``: (..., nb_o, nb_d, block_d, half)
+    -> int8 values (..., D, O)."""
+    *lead, nb_o, nb_d, block_d, half = packed.shape
+    nl = len(lead)
+    perm = tuple(range(nl)) + (nl + 1, nl + 2, nl, nl + 3)
+    flat = packed.transpose(*perm).reshape(
+        *lead, nb_d * block_d, nb_o * half
+    )
+    return unpack_int4_mxu(flat, 2 * half)
+
+
+def _q4a8_kernel_tiled(x_ref, p_ref, s_ref, xs_ref, rs_ref, o_ref,
+                       acc1_ref, acc2_ref, *, half, unpack):
+    """Same math as ``_q4a8_kernel``; the weight ref is one (1, 1, block_d,
+    half) contiguous tile of the pack-time-tiled layout."""
+    db = pl.program_id(1)
+
+    @pl.when(db == 0)
+    def _init():
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    x = x_ref[...]  # (T, block_d) int8
+    p = p_ref[0, 0]  # (block_d, half) int8 packed, contiguous in HBM
+    a = _mask_hi_nibbles(p, unpack)
+    acc1_ref[:] += jax.lax.dot_general(
+        x, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc2_ref[:] += jax.lax.dot_general(
+        x, a, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+    @pl.when(db == pl.num_programs(1) - 1)
+    def _finalize():
+        xs = xs_ref[...]
+        rs = rs_ref[...]
+        lo = (acc1_ref[...] - acc2_ref[...] - 8 * rs).astype(jnp.float32)
+        hi = acc2_ref[...].astype(jnp.float32)
+        o_ref[:, :half] = (lo * xs * s_ref[0:1, :]).astype(o_ref.dtype)
+        o_ref[:, half:] = (hi * xs * s_ref[1:2, :]).astype(o_ref.dtype)
+
+
+def q4a8_matmul_tiled(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    unpack: str = "",
+) -> jnp.ndarray:
+    """x (B, T, D) @ tiled w4a8 (nb_o, nb_d, block_d, half) -> (B, T, O).
+
+    The serving-path w4a8 GEMV: contiguous weight tiles (full-rate DMA),
+    packed bytes directly on the MXU, one bitwise mask per packed byte."""
+    b, t, d = x.shape
+    nb_o, nb_d, block_d, half = packed.shape
+    o = nb_o * 2 * half
+    assert nb_d * block_d == d, (packed.shape, d)
+    unpack = unpack or ("and32" if _interpret() else UNPACK_MODE)
+    xq, xscale, rowsum = quantize_rows_s8(x.reshape(b * t, d))
+    s2 = (
+        scale.reshape(nb_o, 2, half)
+        .transpose(1, 0, 2)
+        .reshape(2, o // 2)
+        .astype(jnp.float32)
+    )
+    s2 = s2.at[1].divide(16.0)
+
+    out = pl.pallas_call(
+        functools.partial(_q4a8_kernel_tiled, half=half, unpack=unpack),
+        grid=(nb_o, nb_d),
+        in_specs=[
+            pl.BlockSpec((b * t, block_d), lambda i, j: (0, j)),
+            pl.BlockSpec((1, 1, block_d, half), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((2, half), lambda i, j: (0, i)),
+            pl.BlockSpec((b * t, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((b * t, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b * t, 2 * half), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * t, o), x.dtype),
+        scratch_shapes=[pltpu.VMEM((b * t, half), jnp.int32),
+                        pltpu.VMEM((b * t, half), jnp.int32)],
+        interpret=_interpret(),
+    )(xq, packed, s2, xscale, rowsum)
+
+    return out.reshape(b, t, o)
+
+
+class Q4A8TiledTensor(NamedTuple):
+    """Pack-time-tiled w4a8 kernel (``pack_int4_mxu_tiled`` layout):
+    packed (..., O/block_o, D/block_d, block_d, block_o/2) int8,
+    scale (..., 1, O) fp32. The serving consumer is the fused MLP kernel
+    (``mlp_w4a8``) — one Pallas call per decoder layer instead of two."""
+
+    packed: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def _regroup_scales(scale: jnp.ndarray, nb_o: int, half: int) -> jnp.ndarray:
+    """(1, O) per-channel scales -> (2, O/2): row 0 = every block's lo-half
+    channels, row 1 = hi-half pre-divided by 16 (dot2 returns 16*q_hi)."""
+    s2 = (
+        scale.reshape(nb_o, 2, half)
+        .transpose(1, 0, 2)
+        .reshape(2, nb_o * half)
+        .astype(jnp.float32)
+    )
+    return s2.at[1].divide(16.0)
+
+
+def _mlp_w4a8_kernel(
+    xq_ref, gup_ref, gus_ref, xs_ref, xrs_ref, dwp_ref, dws_ref, o_ref,
+    gu_ref, hq_ref, hs_ref, hrs_ref, a1g_ref, a2g_ref, a1d_ref, a2d_ref,
+    *, a_steps, nb_gu, nb_dgu, half_gu, nb_dd, half_dn, inter, unpack,
+):
+    """Whole GeGLU MLP in one grid: phase A (steps < a_steps) runs the
+    gate_up w4a8 GEMV into a VMEM scratch; the first phase-B step applies
+    gelu-tanh gating and requantizes the hidden rows to int8 entirely in
+    VMEM; phase B runs the down w4a8 GEMV. One Mosaic kernel launch per
+    decoder layer — the per-call overhead (~25 us, w4a8_kernel_bench.json
+    fixed cost) was eating the int4 byte savings at 4 calls/layer."""
+    g = pl.program_id(0)
+
+    @pl.when(g < a_steps)
+    def _phase_a():
+        ga = jnp.minimum(g, a_steps - 1)
+        dgu = ga % nb_dgu
+
+        @pl.when(dgu == 0)
+        def _init():
+            a1g_ref[:] = jnp.zeros_like(a1g_ref)
+            a2g_ref[:] = jnp.zeros_like(a2g_ref)
+
+        x = xq_ref[...]  # (T, bd_gu) int8
+        p = gup_ref[0, 0]  # (bd_gu, half_gu) packed
+        a = _mask_hi_nibbles(p, unpack)
+        a1g_ref[:] += jax.lax.dot_general(
+            x, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        a2g_ref[:] += jax.lax.dot_general(
+            x, a, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+        @pl.when(dgu == nb_dgu - 1)
+        def _finalize_block():
+            xs = xs_ref[...]  # (T, 1) fp32
+            rs = xrs_ref[...]  # (T, 1) s32
+            lo = (a1g_ref[...] - a2g_ref[...] - 8 * rs).astype(jnp.float32)
+            hi = a2g_ref[...].astype(jnp.float32)
+            val = jnp.concatenate(
+                [
+                    (lo * xs * gus_ref[0:1, :]).astype(gu_ref.dtype),
+                    (hi * xs * gus_ref[1:2, :]).astype(gu_ref.dtype),
+                ],
+                axis=-1,
+            )  # (T, 2*half_gu) — this out-block's gate_up activations
+            gu_ref[pl.ds(ga // nb_dgu, 1), :, :] = val[None]
+
+    @pl.when(g == a_steps)
+    def _gate_and_quantize():
+        # Same op order as the unfused path (gemma._mlp + quantize_rows_s8):
+        # bf16 gate_up -> fp32 gelu-tanh -> bf16 act -> bf16 h -> fp32
+        # quantize, so fused and unfused w4a8 are bit-identical.
+        gu = jnp.concatenate(
+            [gu_ref[c] for c in range(nb_gu)], axis=-1
+        )  # (T, 2*inter), channel order restored
+        gate = gu[:, :inter]
+        up = gu[:, inter:]
+        act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True)
+        h = (act.astype(gu.dtype) * up).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+        hs = jnp.maximum(amax, 1e-8) / 127.0
+        hq = jnp.round(h / hs)
+        hs_ref[:] = hs
+        hrs_ref[:] = jnp.sum(hq, axis=-1, keepdims=True).astype(jnp.int32)
+        bd_dn = inter // nb_dd
+        for db in range(nb_dd):
+            hq_ref[db] = hq[:, db * bd_dn:(db + 1) * bd_dn].astype(jnp.int8)
+
+    @pl.when(g >= a_steps)
+    def _phase_b():
+        gb = jnp.maximum(g - a_steps, 0)
+        dd = gb % nb_dd
+
+        @pl.when(dd == 0)
+        def _init():
+            a1d_ref[:] = jnp.zeros_like(a1d_ref)
+            a2d_ref[:] = jnp.zeros_like(a2d_ref)
+
+        hq = hq_ref[pl.ds(dd, 1), :, :][0]
+        p = dwp_ref[0, 0]  # (bd_dn, half_dn) packed
+        a = _mask_hi_nibbles(p, unpack)
+        a1d_ref[:] += jax.lax.dot_general(
+            hq, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        a2d_ref[:] += jax.lax.dot_general(
+            hq, a, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+        @pl.when(dd == nb_dd - 1)
+        def _finalize_block():
+            hs = hs_ref[...]
+            hrs = hrs_ref[...]
+            lo = (a1d_ref[...] - a2d_ref[...] - 8 * hrs).astype(jnp.float32)
+            hi = a2d_ref[...].astype(jnp.float32)
+            o_ref[:, :half_dn] = (lo * hs * dws_ref[0:1, :]).astype(o_ref.dtype)
+            o_ref[:, half_dn:] = (hi * hs * dws_ref[1:2, :]).astype(o_ref.dtype)
+
+
+# Fused-MLP VMEM budget: gu scratch (T, 2*inter) bf16 + h intermediates cap
+# the row count; above this the caller falls back to two tiled GEMV calls.
+MLP_FUSED_MAX_ROWS = 64
+
+
+def mlp_w4a8(
+    x: jnp.ndarray,
+    gu: "Q4A8TiledTensor",
+    down: "Q4A8TiledTensor",
+    inter: int,
+    unpack: str = "",
+) -> jnp.ndarray:
+    """GeGLU MLP — down(gelu_tanh(gate(x)) * up(x)) — with both weights in
+    tiled-w4a8 packing, fused into ONE Pallas call (reference semantics:
+    modeling_gemma.py:122-134).
+
+    HBM streams the packed nibbles once; the (T, 2*inter) gate_up
+    activation and the requantized int8 hidden rows never leave VMEM.
+    Bit-identical to the unfused pair of ``q4a8_matmul_tiled`` calls with
+    the host-side gelu (tests/test_quantization.py pins it)."""
+    b, t, d = x.shape
+    bt = b * t
+    nb_gu, nb_dgu, bd_gu, half_gu = gu.packed.shape
+    nb_od, nb_dd, bd_dn, half_dn = down.packed.shape
+    assert nb_dgu * bd_gu == d, (gu.packed.shape, d)
+    assert nb_gu * 2 * half_gu == 2 * inter, (gu.packed.shape, inter)
+    assert nb_dd * bd_dn == inter, (down.packed.shape, inter)
+    o = nb_od * 2 * half_dn
+    if bt > MLP_FUSED_MAX_ROWS:
+        h = q4a8_matmul_tiled(x, gu.packed, gu.scale, unpack)
+        act = jax.nn.gelu(
+            h[..., :inter].astype(jnp.float32), approximate=True
+        ).astype(x.dtype)
+        return q4a8_matmul_tiled(
+            act * h[..., inter:], down.packed, down.scale, unpack
+        )
+    unpack = unpack or ("and32" if _interpret() else UNPACK_MODE)
+    xq, xscale, rowsum = quantize_rows_s8(x.reshape(bt, d))
+    s2gu = _regroup_scales(gu.scale, nb_gu, half_gu)
+    s2dn = _regroup_scales(down.scale, nb_od, half_dn)
+    a_steps = nb_gu * nb_dgu
+    b_steps = nb_od * nb_dd
+
+    out = pl.pallas_call(
+        functools.partial(
+            _mlp_w4a8_kernel,
+            a_steps=a_steps, nb_gu=nb_gu, nb_dgu=nb_dgu, half_gu=half_gu,
+            nb_dd=nb_dd, half_dn=half_dn, inter=inter, unpack=unpack,
+        ),
+        grid=(a_steps + b_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (bt, bd_gu),
+                lambda g: (0, jnp.minimum(g, a_steps - 1) % nb_dgu),
+            ),
+            pl.BlockSpec(
+                (1, 1, bd_gu, half_gu),
+                lambda g: (
+                    jnp.minimum(g, a_steps - 1) // nb_dgu,
+                    jnp.minimum(g, a_steps - 1) % nb_dgu,
+                    0,
+                    0,
+                ),
+            ),
+            pl.BlockSpec(
+                (2, half_gu),
+                lambda g: (0, jnp.minimum(g, a_steps - 1) // nb_dgu),
+            ),
+            pl.BlockSpec((bt, 1), lambda g: (0, 0)),
+            pl.BlockSpec((bt, 1), lambda g: (0, 0)),
+            pl.BlockSpec(
+                (1, 1, bd_dn, half_dn),
+                lambda g: (
+                    jnp.maximum(g - a_steps, 0) // nb_dd,
+                    jnp.maximum(g - a_steps, 0) % nb_dd,
+                    0,
+                    0,
+                ),
+            ),
+            pl.BlockSpec(
+                (2, half_dn),
+                lambda g: (0, jnp.maximum(g - a_steps, 0) // nb_dd),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bt, 2 * half_dn),
+            lambda g: (0, jnp.maximum(g - a_steps, 0) // nb_dd),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bt, o), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nb_gu, bt, 2 * half_gu), x.dtype),   # gate_up rows
+            pltpu.VMEM((nb_dd, bt, inter // nb_dd), jnp.int8),  # hq tiles
+            pltpu.VMEM((bt, 1), jnp.float32),                # h row scales
+            pltpu.VMEM((bt, 1), jnp.int32),                  # h row sums
+            pltpu.VMEM((bt, half_gu), jnp.int32),
+            pltpu.VMEM((bt, half_gu), jnp.int32),
+            pltpu.VMEM((bt, half_dn), jnp.int32),
+            pltpu.VMEM((bt, half_dn), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(xq, gu.packed, s2gu, xscale, rowsum, down.packed, s2dn)
+
+    return out.reshape(b, t, o)
+
+
 def q4a8_matmul_xla(
     x: jnp.ndarray,
     packed: jnp.ndarray,

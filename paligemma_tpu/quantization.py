@@ -88,6 +88,21 @@ def quantize_tensor_w4a8(w: jnp.ndarray, axis: int):
     return Q4A8Tensor(packed=pack_int4_mxu(q), scale=scale)
 
 
+@functools.partial(jax.jit, static_argnames=("axis",))
+def quantize_tensor_w4a8_tiled(w: jnp.ndarray, axis: int):
+    """w4a8 in the pack-time-tiled layout consumed by the fused MLP kernel
+    (ops.pallas_quant.mlp_w4a8): one contiguous DMA tile per grid step."""
+    from paligemma_tpu.ops.pallas_quant import (
+        Q4A8TiledTensor, pack_int4_mxu_tiled,
+    )
+
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    return Q4A8TiledTensor(packed=pack_int4_mxu_tiled(q), scale=scale)
+
+
 def qproj(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     """x (B, T, in) @ QTensor (in, out) with output-channel rescale.
 
@@ -151,10 +166,14 @@ def quantize_params(
     embedding/lm_head stays int8 (row lookups need unpacked rows). int4 is an
     experiment arm: lower fidelity than int8, measured in REPORT.md.
 
-    ``mode="w4a8"`` stores the same 4-bit values in the MXU packing
-    (ops.pallas_quant.q4a8_matmul): the packed bytes feed the MXU directly as
-    s8 operands against int8-quantized activations — one shift per packed
-    byte instead of int4's ~7-op unpack chain. Embedding/lm_head stays int8.
+    ``mode="w4a8"`` is the measured-best mixed scheme: gate_up/down (90% of
+    the decoder's bytes) go to 4-bit in the tiled MXU packing, consumed by
+    ONE fused Pallas MLP kernel per layer (gate_up -> gelu-gate -> requant
+    -> down, all in VMEM — ops.pallas_quant.mlp_w4a8); qkv/o stay int8 on
+    the zero-overhead XLA path, where a Pallas call's fixed ~25 us overhead
+    exceeds their 4-bit byte saving (w4a8_kernel_bench.json: every flat
+    kernel shape carries a ~0.1 ms fixed cost). Embedding/lm_head stays
+    int8 (row lookups need unpacked rows).
     """
     assert mode in ("int8", "int4", "w4a8"), mode
     out = jax.tree.map(lambda x: x, params)  # shallow-ish copy
@@ -163,9 +182,14 @@ def quantize_params(
     llm = dict(out["llm"])
     layers = dict(llm["layers"])
     qfn = {"int8": quantize_tensor, "int4": quantize_tensor_int4,
-           "w4a8": quantize_tensor_w4a8}[mode]
+           "w4a8": quantize_tensor}[mode]
     for name in ("qkv", "o", "gate_up", "down"):
         layers[name] = qfn(layers[name], axis=1)  # (L, in, out): reduce in
+    if mode == "w4a8":
+        for name in ("gate_up", "down"):
+            layers[name] = quantize_tensor_w4a8_tiled(
+                params["llm"]["layers"][name], axis=1
+            )
     llm["layers"] = layers
     # Per-row (V, 1) scales serve both the embedding lookup and the tied
     # lm_head; reuse the jitted kernel with axis=1.

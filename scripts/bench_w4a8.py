@@ -23,7 +23,9 @@ sys.path.insert(0, ".")
 from _bench_util import make_looped, timed_looped  # noqa: E402
 from paligemma_tpu.ops.pallas_quant import (  # noqa: E402
     pack_int4_mxu,
+    pack_int4_mxu_tiled,
     q4a8_matmul,
+    q4a8_matmul_tiled,
     q8_matmul,
 )
 
@@ -47,19 +49,26 @@ def main():
         q4 = rng.integers(-7, 8, size=(d, o), dtype=np.int8)
         scale = (rng.random((1, o), dtype=np.float32) + 0.5) * 0.01
         packed = jnp.asarray(pack_int4_mxu(jnp.asarray(q4)))
+        tiled = jnp.asarray(pack_int4_mxu_tiled(jnp.asarray(q4)))
         q8 = jnp.asarray(q4)  # int8 stand-in with the same value range
         s = jnp.asarray(scale)
         x = jnp.asarray(rng.standard_normal((1, 1, d)), dtype)
-        jax.block_until_ready((packed, q8, x))
+        jax.block_until_ready((packed, tiled, q8, x))
 
         arms = {"int8": lambda x, w, s: q8_matmul(x, w, s)}
         for mode in ("and32", "and8", "bitcast", "noop"):
             arms[f"w4a8_{mode}"] = (
                 lambda x, w, s, m=mode: q4a8_matmul(x, w, s, 0, m)
             )
+        # Pack-time-tiled weight layout: contiguous per-program DMA tiles
+        # (the flat arms' 256 B strided bursts cap the stream at ~230 GB/s).
+        for mode in ("and32", "bitcast", "noop"):
+            arms[f"w4a8_tiled_{mode}"] = (
+                lambda x, w, s, m=mode: q4a8_matmul_tiled(x, w, s, m)
+            )
 
         for arm, fn in arms.items():
-            w = q8 if arm == "int8" else packed
+            w = q8 if arm == "int8" else tiled if "tiled" in arm else packed
             try:
                 lf = make_looped(fn, LOOP_N)
                 _ = lf(x, w, s)

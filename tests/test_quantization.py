@@ -248,17 +248,104 @@ def test_q4a8_matmul_exact_integer_oracle():
     np.testing.assert_array_equal(np.asarray(out_x).reshape(2, 3, o), ref)
 
 
+def test_q4a8_tiled_pack_and_matmul_exact():
+    """Pack-time-tiled layout: roundtrip exact, and the tiled kernel matches
+    the numpy s32 oracle to the last bit (same recovery as the flat kernel,
+    contiguous per-program DMA tiles)."""
+    from paligemma_tpu.ops.pallas_quant import (
+        pack_int4_mxu_tiled, q4a8_matmul_tiled, quantize_rows_s8,
+        unpack_int4_mxu_tiled,
+    )
+
+    rng = np.random.RandomState(2)
+    d, o = 4096, 1024
+    q = rng.randint(-7, 8, (d, o)).astype(np.int8)
+    scale = (rng.rand(1, o).astype(np.float32) + 0.5) * 0.01
+    x = jnp.asarray(rng.randn(1, 3, d).astype(np.float32))
+    tiled = pack_int4_mxu_tiled(jnp.asarray(q))
+    assert tiled.shape == (2, 2, 2048, 256)  # (nb_o, nb_d, block_d, half)
+    np.testing.assert_array_equal(np.asarray(unpack_int4_mxu_tiled(tiled)), q)
+
+    out = q4a8_matmul_tiled(x, tiled, jnp.asarray(scale))
+    xq, xs, _ = quantize_rows_s8(x.reshape(3, d))
+    ref = (np.asarray(xq, np.int32) @ q.astype(np.int32)).astype(np.float32)
+    ref = (ref * np.asarray(xs) * scale).reshape(1, 3, o)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_mlp_w4a8_fused_matches_unfused():
+    """The one-kernel fused MLP (gate_up -> gelu-gate -> requant -> down)
+    must match the unfused pair of tiled GEMV calls. Not bit-exact on the
+    CPU interpreter (interpret mode skips an intermediate bf16 rounding of
+    the gated activation that real hardware and the unfused path apply), so
+    the bar is one-activation-quant-step closeness; TPU model-level token
+    agreement is measured in int4_bench.json."""
+    from paligemma_tpu.ops.pallas_quant import (
+        Q4A8TiledTensor, mlp_w4a8, pack_int4_mxu_tiled, q4a8_matmul_tiled,
+    )
+
+    rng = np.random.RandomState(3)
+    d, inter = 256, 512
+    for bt in (1, 5):
+        qg = rng.randint(-7, 8, (d, 2 * inter)).astype(np.int8)
+        sg = (rng.rand(1, 2 * inter).astype(np.float32) + 0.5) * 0.01
+        qd = rng.randint(-7, 8, (inter, d)).astype(np.int8)
+        sd = (rng.rand(1, d).astype(np.float32) + 0.5) * 0.01
+        gu = Q4A8TiledTensor(pack_int4_mxu_tiled(jnp.asarray(qg)),
+                             jnp.asarray(sg))
+        dn = Q4A8TiledTensor(pack_int4_mxu_tiled(jnp.asarray(qd)),
+                             jnp.asarray(sd))
+        x = jnp.asarray(rng.randn(1, bt, d), jnp.bfloat16)
+        fused = mlp_w4a8(x, gu, dn, inter).astype(jnp.float32)
+        h = q4a8_matmul_tiled(x, gu.packed, gu.scale)
+        act = jax.nn.gelu(
+            h[..., :inter].astype(jnp.float32), approximate=True
+        ).astype(x.dtype)
+        ref = q4a8_matmul_tiled(
+            act * h[..., inter:], dn.packed, dn.scale
+        ).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=0.05, atol=0.05
+        )
+
+
+def test_mlp_w4a8_wide_rows_fallback():
+    """Above MLP_FUSED_MAX_ROWS the fused path falls back to the two-call
+    tiled pipeline (VMEM scratch scales with rows) — same function, same
+    contract."""
+    from paligemma_tpu.ops import pallas_quant as PQ
+
+    rng = np.random.RandomState(4)
+    d, inter = 256, 512
+    qg = rng.randint(-7, 8, (d, 2 * inter)).astype(np.int8)
+    sg = (rng.rand(1, 2 * inter).astype(np.float32) + 0.5) * 0.01
+    qd = rng.randint(-7, 8, (inter, d)).astype(np.int8)
+    sd = (rng.rand(1, d).astype(np.float32) + 0.5) * 0.01
+    gu = PQ.Q4A8TiledTensor(PQ.pack_int4_mxu_tiled(jnp.asarray(qg)),
+                            jnp.asarray(sg))
+    dn = PQ.Q4A8TiledTensor(PQ.pack_int4_mxu_tiled(jnp.asarray(qd)),
+                            jnp.asarray(sd))
+    x = jnp.asarray(rng.randn(2, PQ.MLP_FUSED_MAX_ROWS, d), jnp.bfloat16)
+    out = PQ.mlp_w4a8(x, gu, dn, inter)
+    assert out.shape == (2, PQ.MLP_FUSED_MAX_ROWS, d)
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
 def test_w4a8_model_forward_close(params, cfg, sample_inputs):
     """w4a8 adds per-row activation quantization on top of int4 weights, so
     there is no exact dequant oracle at the model level (op-level exactness
-    is pinned above); the model must stay distributionally close to fp32."""
+    is pinned above); the model must stay distributionally close to fp32.
+    Mixed scheme: qkv/o int8 (XLA path), gate_up/down tiled-w4a8 consumed by
+    the fused MLP kernel."""
     ids, pix = sample_inputs
     ref = paligemma.forward_nocache(params, cfg, ids, pix)
     qp = quantize_params(params, mode="w4a8")
-    from paligemma_tpu.ops.pallas_quant import Q4A8Tensor
+    from paligemma_tpu.ops.pallas_quant import Q4A8TiledTensor
+    from paligemma_tpu.quantization import QTensor
 
-    assert isinstance(qp["llm"]["layers"]["qkv"], Q4A8Tensor)
-    assert qp["llm"]["layers"]["qkv"].packed.dtype == jnp.int8
+    assert isinstance(qp["llm"]["layers"]["qkv"], QTensor)
+    assert isinstance(qp["llm"]["layers"]["gate_up"], Q4A8TiledTensor)
+    assert qp["llm"]["layers"]["gate_up"].packed.dtype == jnp.int8
     out = paligemma.forward_nocache(qp, cfg, ids, pix)
     ref_l = np.asarray(ref[0, -1]).astype(np.float64)
     out_l = np.asarray(out[0, -1]).astype(np.float64)
