@@ -389,8 +389,20 @@ def _mlp(cfg: GemmaConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
     gate and up are computed with one fused [gate | up] GEMM. In w4a8 mode
     the whole MLP (both GEMVs + gating + requant) is ONE Pallas kernel —
     per-call overhead was eating the 4-bit byte saving (pallas_quant)."""
-    from paligemma_tpu.ops.pallas_quant import Q4A8TiledTensor, mlp_w4a8
+    from paligemma_tpu.ops.pallas_quant import (
+        MLP_FUSED_MAX_ROWS, Q4A8TiledTensor, mlp_w4a8, mlp_w4a8_stacked,
+    )
 
+    st = lp.get("_w4a8_stacked") if hasattr(lp, "get") else None
+    if st is not None and x.shape[0] * x.shape[1] <= MLP_FUSED_MAX_ROWS:
+        # Scalar-prefetch path: the kernel indexes the FULL (L, ...) packed
+        # stack directly, so the layer scan never materializes an HBM copy
+        # of the sliced weights in front of the Pallas call (VERDICT r4 #1).
+        refs, li = st
+        return mlp_w4a8_stacked(
+            x, refs["gu_packed"], refs["gu_s2"],
+            refs["dn_packed"], refs["dn_s2"], li, cfg.intermediate_size,
+        )
     if isinstance(lp["gate_up"], Q4A8TiledTensor):
         return mlp_w4a8(x, lp["gate_up"], lp["down"], cfg.intermediate_size)
     gu = _proj(x, lp["gate_up"])
@@ -522,6 +534,26 @@ def forward(
             ]
 
     xs: Dict[str, Any] = {"lp": params["layers"]}
+    # w4a8: hoist the tiled-packed MLP stacks out of the scan's xs so the
+    # fused kernel can index them by layer via scalar prefetch instead of
+    # consuming a per-step dynamic-slice (which XLA must materialize as an
+    # HBM copy in front of a custom call — ~48 MB/layer/token at 3B).
+    from paligemma_tpu.ops.pallas_quant import (
+        Q4A8TiledTensor as _Q4T, regroup_scales_stacked as _regroup,
+    )
+
+    w4a8_stacked = None
+    if isinstance(params["layers"].get("gate_up"), _Q4T):
+        _gu, _dn = params["layers"]["gate_up"], params["layers"]["down"]
+        w4a8_stacked = {
+            "gu_packed": _gu.packed,
+            "gu_s2": _regroup(_gu.scale, _gu.packed.shape[1], _gu.packed.shape[4]),
+            "dn_packed": _dn.packed,
+            "dn_s2": _regroup(_dn.scale, _dn.packed.shape[1], _dn.packed.shape[4]),
+        }
+        xs["li"] = jnp.arange(
+            params["layers"]["input_ln"].shape[0], dtype=jnp.int32
+        )
     quant_cache = use_cache and isinstance(cache, QuantKVCache)
     if use_cache:
         xs["ck"], xs["cv"] = cache.k, cache.v
@@ -539,8 +571,12 @@ def forward(
             cache_kv = (x["ck"], x["cv"], x["cks"], x["cvs"])
         else:
             cache_kv = (x["ck"], x["cv"])
+        lp = x["lp"]
+        if w4a8_stacked is not None:
+            lp = dict(lp)
+            lp["_w4a8_stacked"] = (w4a8_stacked, x["li"])
         new_h, new_kv = _decoder_layer(
-            cfg, x["lp"], carry, cos, sin, cache_kv, write_pos, mask,
+            cfg, lp, carry, cos, sin, cache_kv, write_pos, mask,
             x.get("lora"), lora_scale, lora_dropout, x.get("lkey"),
             multi_decode=multi_token_decode,
         )

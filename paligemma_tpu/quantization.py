@@ -183,7 +183,12 @@ def quantize_params(
     layers = dict(llm["layers"])
     qfn = {"int8": quantize_tensor, "int4": quantize_tensor_int4,
            "w4a8": quantize_tensor}[mode]
-    for name in ("qkv", "o", "gate_up", "down"):
+    # In w4a8 mode gate_up/down go straight to the tiled 4-bit packing —
+    # quantizing them to int8 first would transiently materialize ~1.8 GB
+    # on-device only to be overwritten (ADVICE r4).
+    int8_names = (("qkv", "o") if mode == "w4a8"
+                  else ("qkv", "o", "gate_up", "down"))
+    for name in int8_names:
         layers[name] = qfn(layers[name], axis=1)  # (L, in, out): reduce in
     if mode == "w4a8":
         for name in ("gate_up", "down"):

@@ -309,6 +309,83 @@ def test_mlp_w4a8_fused_matches_unfused():
         )
 
 
+def test_mlp_w4a8_stacked_matches_sliced_multiblock():
+    """The scalar-prefetch stacked kernel (mlp_w4a8_stacked — the decoder's
+    scan path, which indexes the FULL (L, ...) packed stack by layer) must be
+    bit-identical to the per-layer sliced fused kernel, and close to the
+    unfused oracle, at a multi-block geometry (nb_gu>1, nb_dgu>1, nb_od>1,
+    nb_dd>1 — the blocking the real 3B model runs; ADVICE r4 asked for this
+    cross-block coverage)."""
+    from paligemma_tpu.ops.pallas_quant import (
+        Q4A8TiledTensor, mlp_w4a8, mlp_w4a8_stacked, pack_int4_mxu_tiled,
+        q4a8_matmul_tiled, regroup_scales_stacked,
+    )
+
+    rng = np.random.RandomState(7)
+    L, d, inter = 3, 256, 512
+    # Overridden blocks: gate_up (d, 2*inter) -> nb_gu=4, nb_dgu=2;
+    # down (inter, d) -> nb_od=2, nb_dd=4.
+    qg = rng.randint(-7, 8, (L, d, 2 * inter)).astype(np.int8)
+    sg = ((rng.rand(L, 1, 2 * inter) + 0.5) * 0.01).astype(np.float32)
+    qd = rng.randint(-7, 8, (L, inter, d)).astype(np.int8)
+    sd = ((rng.rand(L, 1, d) + 0.5) * 0.01).astype(np.float32)
+    gu_packed = pack_int4_mxu_tiled(jnp.asarray(qg), block_o=256, block_d=128)
+    dn_packed = pack_int4_mxu_tiled(jnp.asarray(qd), block_o=128, block_d=128)
+    assert gu_packed.shape == (L, 4, 2, 128, 128)
+    assert dn_packed.shape == (L, 2, 4, 128, 64)
+    gu_s2 = regroup_scales_stacked(jnp.asarray(sg), 4, 128)
+    dn_s2 = regroup_scales_stacked(jnp.asarray(sd), 2, 64)
+    x = jnp.asarray(rng.randn(1, 2, d), jnp.bfloat16)
+
+    for l in range(L):
+        stacked = mlp_w4a8_stacked(
+            x, gu_packed, gu_s2, dn_packed, dn_s2,
+            jnp.int32(l), inter,
+        )
+        sliced = mlp_w4a8(
+            x,
+            Q4A8TiledTensor(gu_packed[l], jnp.asarray(sg[l])),
+            Q4A8TiledTensor(dn_packed[l], jnp.asarray(sd[l])),
+            inter,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stacked.astype(jnp.float32)),
+            np.asarray(sliced.astype(jnp.float32)),
+        )
+        h = q4a8_matmul_tiled(x, gu_packed[l], jnp.asarray(sg[l]))
+        act = jax.nn.gelu(
+            h[..., :inter].astype(jnp.float32), approximate=True
+        ).astype(x.dtype)
+        ref = q4a8_matmul_tiled(
+            act * h[..., inter:], dn_packed[l], jnp.asarray(sd[l])
+        ).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(stacked.astype(jnp.float32)), np.asarray(ref),
+            rtol=0.05, atol=0.05,
+        )
+
+
+def test_w4a8_cached_decode_matches_nocache_argmax(params, cfg, sample_inputs):
+    """Cached w4a8 decode (the scan path that routes through the stacked
+    scalar-prefetch kernel at bt=1) must make the same greedy decisions as
+    the w4a8 no-cache forward — the quant analog of the reference's
+    cached-vs-uncached token-identity check (ablation_study_fixed.py:427)."""
+    ids, pix = sample_inputs
+    qp = quantize_params(params, mode="w4a8")
+    toks_cached, _ = generation.generate(
+        qp, cfg, ids, pix, 6, eos_token_id=-1,
+        cache_dtype=jnp.float32, stop_at_eos=False,
+    )
+    cur = np.asarray(ids)
+    toks_nc = []
+    for _ in range(6):
+        lg = paligemma.forward_nocache(qp, cfg, jnp.asarray(cur), pix)
+        nxt = int(jnp.argmax(lg[0, -1]))
+        toks_nc.append(nxt)
+        cur = np.concatenate([cur, [[nxt]]], axis=1)
+    assert list(toks_cached) == toks_nc
+
+
 def test_mlp_w4a8_wide_rows_fallback():
     """Above MLP_FUSED_MAX_ROWS the fused path falls back to the two-call
     tiled pipeline (VMEM scratch scales with rows) — same function, same
