@@ -22,6 +22,13 @@ check failed):
                  need the whole model in fp32 host memory) unless --hf on.
   int8_identity  greedy tokens identical between bf16 and int8 weight-only
                  (the serving-config promotion criterion, REPORT.md)
+  w4a8_agreement greedy agreement of the mixed w4a8 scheme (qkv/o int8,
+                 gate_up/down fused tiled-int4) vs bf16 — >= 0.9 required,
+                 exact identity recorded for the promotion decision
+  a8_prefill_agreement  greedy agreement with the opt-in a8 (s8xs8 MXU)
+                 prefill vs plain int8 — recorded, not gated (a8 is the
+                 documented non-identical mode; this answers the real-weights
+                 question the day a checkpoint lands)
   lora_smoke     one LoRA train step on a synthesized batch: finite loss and
                  the adapter actually moves
 
@@ -251,6 +258,61 @@ def run_checks(model_path: str, tokens: int, hf_mode: str, streaming_mode: str,
                 f"int8 tokens diverge from {('bf16' if on_tpu else 'fp32')}: "
                 f"{q[:8]} vs {base[:8]}")
         return {"tokens_compared": len(base)}
+
+    @guard("w4a8_agreement")
+    def _w4a8():
+        if "params" not in state or "proc" not in state:
+            raise SkipCheck("load or tokenizer failed")
+        from paligemma_tpu import generation
+        from paligemma_tpu.quantization import quantize_params
+
+        ids, pix = _inputs()
+        eos = state["proc"].tokenizer.eos_token_id or -1
+        kw = dict(max_new_tokens=tokens, eos_token_id=eos,
+                  cache_dtype=dtype, chunk=min(16, tokens))
+        base = generation.generate_chunked(
+            state["params"], state["cfg"], ids, pix, **kw)
+        qparams = quantize_params(state["params"], llm_only=True, mode="w4a8")
+        q = generation.generate_chunked(qparams, state["cfg"], ids, pix, **kw)
+        n = min(len(base), len(q))
+        agree = sum(a == b for a, b in zip(base[:n], q[:n])) / max(n, 1)
+        # w4a8 adds per-row activation quantization: identity is expected
+        # (int4_bench.json measured 1.0 on the 3B geometry) but, unlike the
+        # int8 serving gate, not *required* — the bar here is high agreement,
+        # with exact identity recorded for the promotion decision.
+        if agree < 0.9:
+            raise AssertionError(
+                f"w4a8 agreement {agree:.2f} < 0.9: {q[:8]} vs {base[:8]}")
+        return {"tokens_compared": n, "agreement": round(agree, 4),
+                "token_identical": base == q}
+
+    @guard("a8_prefill_agreement")
+    def _a8():
+        if "params" not in state or "proc" not in state:
+            raise SkipCheck("load or tokenizer failed")
+        from paligemma_tpu import generation, runtime
+        from paligemma_tpu.quantization import quantize_params
+
+        ids, pix = _inputs()
+        eos = state["proc"].tokenizer.eos_token_id or -1
+        kw = dict(max_new_tokens=tokens, eos_token_id=eos,
+                  cache_dtype=dtype, chunk=min(16, tokens))
+        qparams = quantize_params(state["params"], llm_only=True)
+        base = generation.generate_chunked(qparams, state["cfg"], ids, pix, **kw)
+        runtime.set_prefill_a8(True)
+        try:
+            a8 = generation.generate_chunked(
+                qparams, state["cfg"], ids, pix, **kw)
+        finally:
+            runtime.set_prefill_a8(False)
+        n = min(len(base), len(a8))
+        agree = sum(a == b for a, b in zip(base[:n], a8[:n])) / max(n, 1)
+        # a8 prefill is the documented NON-identical opt-in (REPORT.md r4):
+        # this check records the real-weights agreement (the open question
+        # the day a checkpoint lands); it fails only if the a8 stream is
+        # broken outright, not on a near-tie argmax flip.
+        return {"tokens_compared": n, "agreement": round(agree, 4),
+                "token_identical": base == a8}
 
     @guard("lora_smoke")
     def _lora():

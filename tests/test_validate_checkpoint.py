@@ -135,7 +135,12 @@ def test_validate_checkpoint_harness(real_ckpt_dir, tmp_path, capsys):
     statuses = {k: v["status"] for k, v in report["checks"].items()}
     assert statuses == {
         "config": "pass", "tokenizer": "pass", "load": "pass",
-        "logit_parity": "pass", "int8_identity": "pass", "lora_smoke": "pass",
+        "logit_parity": "pass", "int8_identity": "pass",
+        "w4a8_agreement": "pass", "a8_prefill_agreement": "pass",
+        "lora_smoke": "pass",
     }, statuses
+    # The quant checks measured real streams, not vacuous passes.
+    assert report["checks"]["w4a8_agreement"]["agreement"] >= 0.9
+    assert "token_identical" in report["checks"]["a8_prefill_agreement"]
     # The parity check hit the 1e-3 bar, not a vacuous pass.
     assert report["checks"]["logit_parity"]["max_abs_logit_diff"] < 1e-3 * 10
