@@ -119,7 +119,9 @@ def slot_decode_steps(
     return toks.T, tok, cache, lengths
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "k", "n"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_iters", "k", "n", "drafter")
+)
 def slot_decode_steps_spec(
     params,
     cfg: PaliGemmaConfig,
@@ -137,6 +139,7 @@ def slot_decode_steps_spec(
     lora=None,
     occupied: Optional[jnp.ndarray] = None,  # (B,) bool — host occupancy truth
     draft_noise: Optional[jnp.ndarray] = None,  # scalar in [0,1]; see below
+    drafter: str = "ngram",
 ):
     """``n_iters`` speculative verify iterations for all slots as ONE
     compiled program (the spec analog of ``slot_decode_steps``).
@@ -174,7 +177,8 @@ def slot_decode_steps_spec(
     def body(carry, step_key):
         tok, cache, lens, ibuf, blens, out, counts = carry
         drafts = jax.vmap(
-            lambda row, bl, t0: generation._ngram_propose_row(row, bl, t0, k, n)
+            lambda row, bl, t0: generation.propose_row(
+                drafter, row, bl, t0, k, n)
         )(ibuf, blens, tok[:, 0])
         if draft_noise is not None:
             flip = jax.random.uniform(
@@ -412,6 +416,11 @@ class ContinuousBatcher:
         (spec_probe_every .. 8x). All programs are compiled on first use;
         greedy streams are exact across mode switches (every mode emits
         exact greedy tokens).
+      spec_drafter: the proposal rule — "ngram" (fixed (n-1)-gram recency
+        match, the shipped default) or "longest" (longest-common-suffix
+        variable-context match, generation._longest_match_propose_row).
+        Exactness is drafter-independent (verification rejects bad drafts);
+        the drafter only moves the acceptance rate.
       spec_ks: the adaptive DRAFT-DEPTH LADDER — ascending k rungs (one
         compiled verify program each). The policy climbs a rung when
         acceptance nearly saturates the current k (EMA >= 0.85*k) and
@@ -492,6 +501,7 @@ class ContinuousBatcher:
         spec_probe_every: int = 8,
         spec_ks: Optional[Sequence[int]] = None,
         draft_noise: float = 0.0,
+        spec_drafter: str = "ngram",
     ):
         self.params, self.cfg, self.processor = params, cfg, processor
         self.n_slots = n_slots
@@ -549,6 +559,9 @@ class ContinuousBatcher:
                 f"runtime.a8_min_seq={_rt.a8_min_seq} would route verify "
                 "through the a8 path; lower spec_k or disable prefill_a8")
         self.spec_ngram = int(spec_ngram)
+        if spec_drafter not in ("ngram", "longest"):
+            raise ValueError(f"unknown spec_drafter {spec_drafter!r}")
+        self.spec_drafter = spec_drafter
         # Verify iterations per SPECULATIVE chunk (plain chunks always run
         # ``chunk`` one-token steps). Decoupled so an adaptive engine can
         # run plain chunks at the peak cadence (32 steps) and spec chunks at
@@ -1364,6 +1377,7 @@ class ContinuousBatcher:
                 self.temps, self.topps, sub, self.spec_chunk, self.ids_buf,
                 self.buf_lens, k_chunk, self.spec_ngram, self.slot_lora,
                 occupied=occupied, draft_noise=self.draft_noise,
+                drafter=self.spec_drafter,
             )
             packed = jnp.concatenate([counts[:, None], toks], axis=1)
         elif self.spec_k:

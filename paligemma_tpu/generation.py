@@ -128,9 +128,68 @@ def _ngram_propose(ids_buf, buf_len, token, k: int, n: int):
     return _ngram_propose_row(ids_buf[0], buf_len, token[0, 0], k, n)[None, :]
 
 
+# Longest-match drafter: context cap and minimum context to draft from.
+LONGEST_NMAX = 16
+LONGEST_MIN_MATCH = 1
+
+
+def _longest_match_propose_row(
+    ids_row, buf_len, token, k: int,
+    n_max: int = LONGEST_NMAX, min_match: int = LONGEST_MIN_MATCH,
+):
+    """Variable-context prompt-lookup draft for ONE row: (k-1,) tokens.
+
+    Where ``_ngram_propose_row`` keys on a FIXED (n-1)-gram, this picks the
+    continuation start whose preceding context has the LONGEST common suffix
+    with the current sequence end (capped at ``n_max``, ties broken by
+    recency) — the bounded-window form of a suffix-automaton longest-match
+    drafter (VERDICT r4 #5: lift acceptance on low-repetition real text).
+    A longer matched context is stronger evidence that the model will
+    reproduce the continuation, and a 1-token match still beats the
+    repeated-token fallback; with n_max = min_match = n-1 this reduces
+    exactly to the fixed n-gram drafter (tested).
+
+    Cost: one (L, n_max) int comparison block per proposal — VPU noise next
+    to a verify step's weight stream. Same validity rules as the n-gram
+    drafter: continuation positions at or past ``buf_len`` fall back to the
+    repeated-token draft.
+    """
+    L = ids_row.shape[0]
+    # wins[s] = the n_max tokens ENDING just before continuation start s.
+    idx = jnp.arange(L)[:, None] + jnp.arange(n_max)[None, :] - n_max
+    wins = ids_row[jnp.clip(idx, 0, L - 1)]
+    # The current suffix, gathered (not dynamic_slice — a clamped start
+    # would silently misalign short buffers) with per-position validity.
+    sidx = buf_len - n_max + jnp.arange(n_max)
+    suf = ids_row[jnp.clip(sidx, 0, L - 1)]
+    eq = (wins == suf[None, :]) & (idx >= 0) & (sidx >= 0)[None, :]
+    # Trailing-run length of the match, per candidate start.
+    run = jnp.sum(jnp.cumprod(eq[:, ::-1].astype(jnp.int32), axis=1), axis=1)
+    starts = jnp.arange(L)
+    cand = (starts < buf_len) & (run >= min_match)
+    # Lexicographic (run, start): longest context first, then most recent.
+    score = jnp.where(cand, run * L + starts, -1)
+    best = jnp.argmax(score)
+    has_match = jnp.max(score) >= 0
+    cont_pos = best + jnp.arange(k - 1)
+    cont = ids_row[jnp.clip(cont_pos, 0, L - 1)]
+    ok = has_match & (cont_pos < buf_len)
+    return jnp.where(ok, cont, jnp.broadcast_to(token, (k - 1,)))
+
+
+def propose_row(drafter: str, ids_row, buf_len, token, k: int, n: int):
+    """Draft (k-1,) continuation tokens for one row with the chosen drafter
+    (static dispatch — ``drafter`` is a trace-time constant)."""
+    if drafter == "longest":
+        return _longest_match_propose_row(ids_row, buf_len, token, k)
+    if drafter != "ngram":
+        raise ValueError(f"unknown drafter {drafter!r}")
+    return _ngram_propose_row(ids_row, buf_len, token, k, n)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "k", "n", "do_sample"),
+    static_argnames=("cfg", "n_steps", "k", "n", "do_sample", "drafter"),
 )
 def decode_steps_spec(
     params,
@@ -146,6 +205,7 @@ def decode_steps_spec(
     temperature: float = 0.0,
     top_p: float = 0.9,
     key: Optional[jax.Array] = None,
+    drafter: str = "ngram",
 ):
     """Speculative decode of AT LEAST ``n_steps`` tokens as ONE compiled
     program (n-gram drafts + k-token verify steps).
@@ -190,7 +250,9 @@ def decode_steps_spec(
 
     def body(c):
         produced, iters, token, cache, ids_buf, buf_len, out_buf, key = c
-        drafts = _ngram_propose(ids_buf, buf_len, token, k, n)
+        drafts = propose_row(
+            drafter, ids_buf[0], buf_len, token[0, 0], k, n
+        )[None, :]
         inp = jnp.concatenate([token, drafts], axis=1)  # (1, k)
         logits, vcache = paligemma.verify_step(params, cfg, inp, cache)
         if do_sample:
@@ -244,6 +306,7 @@ def generate_spec(
     top_p: float = 0.9,
     key: Optional[jax.Array] = None,
     stats: Optional[dict] = None,
+    drafter: str = "ngram",
 ) -> list:
     """Generation via n-gram speculative decoding. Greedy output is
     token-identical to ``generate_chunked``; sampled output (``do_sample``
@@ -294,7 +357,7 @@ def generate_spec(
             decode_steps_spec(
                 params, cfg, token, cache, ids_buf, buf_len, chunk, k, n,
                 do_sample=do_sample, temperature=temperature, top_p=top_p,
-                key=sub,
+                key=sub, drafter=drafter,
             )
         )
         # ONE host fetch per chunk: each fetch costs ~25 ms over the tunnel

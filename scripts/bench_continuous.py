@@ -71,6 +71,11 @@ def main():
                          "same as --chunk; adaptive engines want 8 so spec "
                          "chunks run at speculation's winning cadence while "
                          "plain chunks keep --chunk)")
+    ap.add_argument("--spec_drafter", choices=["ngram", "longest"],
+                    default="ngram",
+                    help="draft proposal rule: fixed (n-1)-gram recency "
+                         "match, or longest-common-suffix variable-context "
+                         "match (capped at generation.LONGEST_NMAX)")
     ap.add_argument("--draft_noise", type=float, default=0.0,
                     help="corrupt this fraction of draft tokens on-device "
                          "(rejected by verification — streams stay exact). "
@@ -171,7 +176,7 @@ def main():
             spec_adaptive=args.spec_adaptive,
             spec_max_slots=args.spec_max_slots, spec_chunk=args.spec_chunk,
             kv_quant=args.kv_quant, kv_window=args.kv_window,
-            draft_noise=args.draft_noise,
+            draft_noise=args.draft_noise, spec_drafter=args.spec_drafter,
         )
         for p, im, b in zip(prompts, images, budgets):
             eng.submit(p, im, max_new_tokens=b)

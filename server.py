@@ -390,7 +390,7 @@ class ContinuousRunner:
                  lora_rank=None, adapters=None, prefill_cache=0,
                  queue_depth: int = 64, deadline_s=None, spec_k: int = 0,
                  spec_adaptive: bool = True, spec_max_slots=None,
-                 spec_chunk=None, spec_ks=None,
+                 spec_chunk=None, spec_ks=None, spec_drafter: str = "ngram",
                  kv_quant: bool = False, kv_window: bool = False,
                  metrics: Metrics = None):
         from paligemma_tpu.continuous import ContinuousBatcher
@@ -424,6 +424,7 @@ class ContinuousRunner:
             ),
             kv_quant=kv_quant,
             kv_window=kv_window,
+            spec_drafter=spec_drafter,
         )
         # Multi-tenant LoRA: {name: (adapter_tree, scale)} registered once;
         # requests pick one by name ("adapter" field).
@@ -1038,6 +1039,12 @@ def main(argv=None):
                         "to plain chunks (break-even EMA 2.0) with "
                         "exponentially backed-off probes, so the floor is "
                         "the plain peak. Ignored when --spec_k is given")
+    p.add_argument("--spec_drafter", choices=["ngram", "longest"],
+                   default="ngram",
+                   help="draft proposal rule: fixed (n-1)-gram recency "
+                        "match (shipped default), or longest-common-suffix "
+                        "variable-context match — higher acceptance on "
+                        "structured low-repetition text, same exactness")
     p.add_argument("--spec_adaptive", choices=["on", "off"], default="on",
                    help="with --spec_k: choose per chunk between the "
                         "speculative and plain programs from occupancy + "
@@ -1152,6 +1159,7 @@ def main(argv=None):
             spec_adaptive=args.spec_adaptive == "on",
             spec_max_slots=args.spec_max_slots,
             spec_chunk=args.spec_chunk,
+            spec_drafter=args.spec_drafter,
             kv_quant=args.kv_quant == "on",
             kv_window=_kv_window_enabled(args),
             metrics=metrics,

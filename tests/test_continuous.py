@@ -402,6 +402,25 @@ def test_kv_quant_spec_engine(setup):
     assert run(kv_quant=True, spec_k=3) == run()
 
 
+def test_spec_longest_drafter_engine_identity(setup):
+    """spec_drafter='longest' (variable-context longest-match proposals)
+    emits exactly the plain engine's greedy streams — drafter choice moves
+    acceptance only, never the output (VERDICT r4 #5)."""
+    params, cfg, proc, prompts, images = setup
+
+    def run(**kw):
+        eng = ContinuousBatcher(
+            params, cfg, proc, n_slots=2, max_new_tokens=8, chunk=3,
+            cache_dtype=jnp.float32, **kw,
+        )
+        reqs = [eng.submit(p, im) for p, im in zip(prompts[:3], images[:3])]
+        eng.run()
+        assert all(r.done and r.error is None for r in reqs)
+        return [r.tokens for r in reqs]
+
+    assert run(spec_k=3, spec_drafter="longest") == run()
+
+
 def test_prefetch_identity_and_shutdown(setup):
     """The prefetch worker (off-thread preprocessing + host cache-dtype pixel
     convert + one stacked upload per join group) is a pure scheduling change:

@@ -181,3 +181,75 @@ def test_spec_accepts_on_repetitive_text(setup):
         cache_dtype=jnp.float32, chunk=8, k=6, n=3, stats=stats)
     assert spec == base
     assert stats["produced"] >= 16
+
+
+# ---------------------------------------------------------------------------
+# longest-match (variable-context prompt-lookup) drafter
+# ---------------------------------------------------------------------------
+
+
+def test_longest_match_reduces_to_ngram():
+    """With n_max = min_match = n-1 the longest-match drafter IS the fixed
+    n-gram drafter (same match set, same recency tie-break) — the formal
+    link between the two proposal rules."""
+    rng = np.random.RandomState(11)
+    k, n = 6, 3
+    for seed in range(8):
+        r = np.random.RandomState(seed)
+        L = 48
+        row = jnp.asarray(r.randint(3, 9, size=(L,)), jnp.int32)  # repetitive
+        for bl in (8, 17, 30, L):
+            buf_len = jnp.asarray(bl, jnp.int32)
+            token = row[bl - 1]
+            a = generation._ngram_propose_row(row, buf_len, token, k, n)
+            b = generation._longest_match_propose_row(
+                row, buf_len, token, k, n_max=n - 1, min_match=n - 1)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_longest_match_prefers_longer_context():
+    """Where the fixed bigram drafter keys on the most RECENT 2-token match,
+    the longest-match drafter picks the earlier occurrence with the longer
+    matched context — the acceptance-lifting behavior on structured text."""
+    #        0  1  2  3  4  5  6  7  8  9 10 11 12 13 14
+    row = jnp.asarray([1, 2, 3, 4, 5, 9, 9, 6, 4, 5, 7, 7, 3, 4, 5], jnp.int32)
+    buf_len = jnp.asarray(15, jnp.int32)
+    k = 4
+    ng = generation._ngram_propose_row(row, buf_len, row[14], k, n=3)
+    lm = generation._longest_match_propose_row(row, buf_len, row[14], k)
+    # bigram (4,5): most recent earlier occurrence ends at 9 -> proposes 7,7,3
+    np.testing.assert_array_equal(np.asarray(ng), [7, 7, 3])
+    # longest match: (3,4,5) at 2..4 (run 3) beats (4,5) at 8..9 (run 2)
+    np.testing.assert_array_equal(np.asarray(lm), [9, 9, 6])
+
+
+def test_longest_match_fallback_no_context():
+    """No match at all -> repeated-token fallback (same contract as ngram)."""
+    row = jnp.zeros((32,), jnp.int32)
+    row = row.at[:6].set(jnp.asarray([3, 4, 5, 6, 7, 8]))
+    out = generation._longest_match_propose_row(
+        row, jnp.asarray(6, jnp.int32), jnp.asarray(8, jnp.int32), 5)
+    # every token unique -> only the trivial 0-length context matches are
+    # excluded by min_match=1... the last token 8 never occurred before, so
+    # no candidate start has run >= 1 except via clipped-window artifacts.
+    assert out.shape == (4,)
+    np.testing.assert_array_equal(np.asarray(out), [8, 8, 8, 8])
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_generate_spec_longest_identical_to_greedy(setup, k):
+    """Exactness is drafter-independent: the longest-match speculative
+    stream IS the greedy stream (the verify rule rejects bad drafts)."""
+    params, cfg, mk = setup
+    for seed in (1, 5):
+        ids, pix = mk(seed)
+        base = generation.generate_chunked(
+            params, cfg, ids, pix, max_new_tokens=24, eos_token_id=-1,
+            cache_dtype=jnp.float32, chunk=8)
+        stats = {}
+        spec = generation.generate_spec(
+            params, cfg, ids, pix, max_new_tokens=24, eos_token_id=-1,
+            cache_dtype=jnp.float32, chunk=8, k=k, n=3, stats=stats,
+            drafter="longest")
+        assert spec == base, (seed, k, spec, base)
+        assert stats["tokens_per_verify"] >= 1.0
