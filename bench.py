@@ -140,37 +140,44 @@ def main() -> None:
     pf_bf, tps_bf, mspt_bf, toks_bf = measure(params, cfg, ids, pix, dtype)
     log(f"bf16: prefill {pf_bf:.1f} ms | {mspt_bf:.2f} ms/token = {tps_bf:.1f} tok/s")
 
-    # The int8 arm is strictly additive: any failure there falls back to the
-    # already-measured bf16 number rather than losing the round's benchmark.
-    value, pf = tps_bf, pf_bf
-    try:
-        t0 = time.time()
-        qparams = quantize_params(params, llm_only=True)
-        jax.block_until_ready(qparams)
-        del params
-        log(f"quantize (llm-only int8): {time.time() - t0:.1f}s")
+    # The quant arms are strictly additive: any failure there falls back to
+    # the already-measured bf16 number rather than losing the round's
+    # benchmark. Headline = fastest config whose greedy tokens are IDENTICAL
+    # to bf16 over every measured window (same criterion the reference uses
+    # for its cached-vs-uncached check, ablation_study_fixed.py:427-440).
+    # w4a8 (int4 MLP weights + int8 activations, one fused Pallas kernel per
+    # decoder layer) is the fastest measured config: 2.918 ms/tok vs int8's
+    # 3.79 (int4_bench.json); int8 runs first as the proven fallback.
+    value, pf, headline = tps_bf, pf_bf, "bf16 reference-parity"
+    for mode in ("int8", "w4a8"):
+        try:
+            t0 = time.time()
+            qparams = quantize_params(params, llm_only=True, mode=mode)
+            jax.block_until_ready(qparams)
+            log(f"quantize (llm-only {mode}): {time.time() - t0:.1f}s")
 
-        pf_q, tps_q, mspt_q, toks_q = measure(qparams, cfg, ids, pix, dtype)
-        log(f"int8: prefill {pf_q:.1f} ms | {mspt_q:.2f} ms/token = {tps_q:.1f} tok/s")
-        mb = peak_memory_mb()
-        if mb:
-            log(f"peak HBM {mb:.0f} MB")
-        else:  # tunneled PJRT exposes no allocator stats (utils/memory.py)
-            from paligemma_tpu.utils.memory import estimate_live_mb
+            pf_q, tps_q, mspt_q, toks_q = measure(qparams, cfg, ids, pix, dtype)
+            log(f"{mode}: prefill {pf_q:.1f} ms | {mspt_q:.2f} ms/token = {tps_q:.1f} tok/s")
+            mb = peak_memory_mb()
+            if mb:
+                log(f"peak HBM {mb:.0f} MB")
+            else:  # tunneled PJRT exposes no allocator stats (utils/memory.py)
+                from paligemma_tpu.utils.memory import estimate_live_mb
 
-            log(f"live params {estimate_live_mb(qparams):.0f} MB (analytic "
-                "lower bound; backend reports no memory_stats)")
+                log(f"live params {estimate_live_mb(qparams):.0f} MB (analytic "
+                    "lower bound; backend reports no memory_stats)")
 
-        identical = toks_bf == toks_q
-        log(f"int8 vs bf16 token identity over {len(toks_bf)} tokens: {identical}")
-
-        if identical and tps_q > tps_bf:
-            value, pf = tps_q, pf_q
-            log("headline: int8 serving config (token-identical to bf16)")
-        else:
-            log("headline: bf16 reference-parity config")
-    except Exception as e:  # pragma: no cover - environment failures
-        log(f"int8 arm failed ({e!r}); reporting bf16 reference-parity config")
+            identical = toks_bf == toks_q
+            log(f"{mode} vs bf16 token identity over {len(toks_bf)} tokens: "
+                f"{identical}")
+            if identical and tps_q > value:
+                value, pf, headline = tps_q, pf_q, f"{mode} serving config"
+            del qparams
+        except Exception as e:  # pragma: no cover - environment failures
+            log(f"{mode} arm failed ({e!r}); falling back")
+    log(f"headline: {headline}"
+        + (" (token-identical to bf16)" if headline != "bf16 reference-parity"
+           else ""))
 
     print(
         json.dumps(

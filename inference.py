@@ -100,15 +100,18 @@ def test_inference(
 def load_for_cli(model_path, demo: bool, quant: str = "none"):
     """Load (params, cfg, processor); ``quant="int8"`` converts the decoder
     to the int8 weight-only serving config after load (the bench.py headline
-    path — token-identical to bf16 on the measured window, REPORT.md)."""
+    path — token-identical to bf16 on the measured window, REPORT.md);
+    ``quant="w4a8"`` is the mixed int4-weight/int8-activation scheme
+    (fused Pallas MLP — fastest measured single-stream decode,
+    int4_bench.json)."""
     import jax
     import jax.numpy as jnp
 
     def maybe_quant(params):
-        if quant == "int8":
+        if quant in ("int8", "w4a8"):
             from paligemma_tpu.quantization import quantize_params
 
-            params = quantize_params(params, llm_only=True)
+            params = quantize_params(params, llm_only=True, mode=quant)
         elif quant not in (None, "none"):
             raise ValueError(f"unknown quant mode {quant!r}")
         return params
@@ -154,10 +157,13 @@ def main(argv=None):
     p.add_argument("--do_sample", type=str2bool, default=False)
     p.add_argument("--only_cpu", type=str2bool, default=False)
     p.add_argument("--demo", action="store_true", help="tiny random model + byte tokenizer")
-    p.add_argument("--quant", choices=["none", "int8"], default="none",
+    p.add_argument("--quant", choices=["none", "int8", "w4a8"], default="none",
                    help="int8: weight-only quantized decoder (the serving "
                         "config — ~2x decode throughput, token-identical "
-                        "to bf16 on the measured window)")
+                        "to bf16 on the measured window); w4a8: int4 MLP "
+                        "weights + int8 activations in one fused Pallas "
+                        "kernel per layer (fastest measured decode, "
+                        "int4_bench.json)")
     p.add_argument("--prefill_a8", type=str2bool, default=False,
                    help="both-operands-int8 MXU prefill projections "
                         "(requires --quant int8; opt-in — not "

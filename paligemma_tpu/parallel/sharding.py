@@ -111,8 +111,19 @@ def param_shardings(
 
 def _expand_qtensor_shardings(shard_tree, params, mesh: Mesh):
     """Expand kernel shardings to QTensor(q, scale) pairs where ``params``
-    holds quantized leaves (see param_shardings docstring)."""
+    holds quantized leaves (see param_shardings docstring).
+
+    w4a8 tiled leaves (``Q4A8TiledTensor``) are REPLICATED: their packed
+    layout (L, nb_o, nb_d, block_d, half) is consumed by a Mosaic kernel
+    that indexes the full stack (ops.pallas_quant.mlp_w4a8_stacked), which
+    GSPMD cannot auto-partition — under TP the fused MLP runs replicated
+    while qkv/o/embed carry the model-axis sharding. At 4 bits the MLP is
+    ~0.9 GB at 3B, so per-chip replication is an acceptable cost until a
+    shard_map'd per-device kernel variant exists."""
+    from paligemma_tpu.ops.pallas_quant import Q4A8TiledTensor
     from paligemma_tpu.quantization import QTensor
+
+    rep = _ns(mesh)
 
     def scale_sharding(kernel_ns: NamedSharding, scale_shape) -> NamedSharding:
         spec = list(kernel_ns.spec) + [None] * (
@@ -127,10 +138,13 @@ def _expand_qtensor_shardings(shard_tree, params, mesh: Mesh):
     def fix(p, s):
         if isinstance(p, QTensor):
             return QTensor(q=s, scale=scale_sharding(s, p.scale.shape))
+        if isinstance(p, Q4A8TiledTensor):
+            return Q4A8TiledTensor(packed=rep, scale=rep)
         return s
 
     return jax.tree.map(
-        fix, params, shard_tree, is_leaf=lambda x: isinstance(x, QTensor)
+        fix, params, shard_tree,
+        is_leaf=lambda x: isinstance(x, (QTensor, Q4A8TiledTensor)),
     )
 
 

@@ -43,7 +43,8 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quant", choices=["none", "int8"], default="none")
+    ap.add_argument("--quant", choices=["none", "int8", "w4a8"],
+                    default="none")
     ap.add_argument("--res", type=int, default=224, choices=[224, 448, 896],
                     help="model resolution variant (224/448/896 configs — "
                          "448 quadruples image tokens: serving becomes "
@@ -135,10 +136,10 @@ def main():
     cfg = align_config(cfg, proc)
     params = paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype)
     jax.block_until_ready(params)
-    if args.quant == "int8":
+    if args.quant != "none":
         from paligemma_tpu.quantization import quantize_params
 
-        params = quantize_params(params, llm_only=True)
+        params = quantize_params(params, llm_only=True, mode=args.quant)
         jax.block_until_ready(params)
     log("params ready")
 

@@ -992,8 +992,11 @@ def main(argv=None):
                    help="register a LoRA adapter directory (saved by the "
                         "finetune path) under NAME; repeatable; requests "
                         "select one with the 'adapter' field")
-    p.add_argument("--quant", choices=["none", "int8"], default="none",
-                   help="int8: weight-only quantized decoder — the measured "
+    p.add_argument("--quant", choices=["none", "int8", "w4a8"], default="none",
+                   help="w4a8: int4 MLP weights + int8 activations, one "
+                        "fused Pallas kernel per layer (fastest measured "
+                        "single-stream decode, int4_bench.json); "
+                        "int8: weight-only quantized decoder — the measured "
                         "production serving config (272.7 tok/s single-"
                         "stream vs 143 bf16 at 3B on v5e-1, REPORT.md)")
     def _buckets(spec: str):

@@ -421,6 +421,31 @@ def test_spec_longest_drafter_engine_identity(setup):
     assert run(spec_k=3, spec_drafter="longest") == run()
 
 
+def test_w4a8_engine_spec_identity(setup):
+    """The serving engine runs end-to-end on w4a8 params (int4 MLP weights +
+    int8 activations, fused Pallas MLP in interpret mode on CPU), and the
+    speculative engine emits exactly the plain w4a8 engine's greedy streams
+    (verify exactness holds under w4a8 numerics; VERDICT r4 #2). Identity is
+    w4a8-vs-w4a8 — quant tokens can legitimately differ from fp32 at tie
+    margins."""
+    from paligemma_tpu.quantization import quantize_params
+
+    params, cfg, proc, prompts, images = setup
+    qparams = quantize_params(params, llm_only=True, mode="w4a8")
+
+    def run(**kw):
+        eng = ContinuousBatcher(
+            qparams, cfg, proc, n_slots=2, max_new_tokens=6, chunk=2,
+            cache_dtype=jnp.float32, **kw,
+        )
+        reqs = [eng.submit(p, im) for p, im in zip(prompts[:3], images[:3])]
+        eng.run()
+        assert all(r.done and r.error is None for r in reqs)
+        return [r.tokens for r in reqs]
+
+    assert run(spec_k=3) == run()
+
+
 def test_prefetch_identity_and_shutdown(setup):
     """The prefetch worker (off-thread preprocessing + host cache-dtype pixel
     convert + one stacked upload per join group) is a pure scheduling change:
