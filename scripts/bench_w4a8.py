@@ -60,8 +60,10 @@ def main():
             arms[f"w4a8_{mode}"] = (
                 lambda x, w, s, m=mode: q4a8_matmul(x, w, s, 0, m)
             )
-        # Pack-time-tiled weight layout: contiguous per-program DMA tiles
-        # (the flat arms' 256 B strided bursts cap the stream at ~230 GB/s).
+        # Pack-time-tiled weight layout: contiguous per-program DMA tiles.
+        # Measured ~= flat within wobble (w4a8_kernel_bench.json — Mosaic's
+        # prefetch covers the flat layout's strided bursts); kept because
+        # the fused-MLP kernels require per-program-contiguous tiles.
         for mode in ("and32", "bitcast", "noop"):
             arms[f"w4a8_tiled_{mode}"] = (
                 lambda x, w, s, m=mode: q4a8_matmul_tiled(x, w, s, m)

@@ -297,6 +297,97 @@ def main(argv=None):
             fig.tight_layout()
             save(fig, "fig8_speculative")
 
+    # fig9: serving throughput vs speculative acceptance (round-4 noise
+    # sweep + the clean workload): the measured degradation curve behind
+    # the flat-2.0 break-even policy. Acceptance is moved on-device with
+    # --draft_noise (drafts corrupted, verification rejects — streams stay
+    # exact), so every point is the SAME engine/config, only acceptance
+    # differs.
+    acc_files = [
+        "continuous_bench_int8_s32c32_r256_specL8av16_dn90_kvw.json",
+        "continuous_bench_int8_s32c32_r256_specL8av16_dn60_kvw.json",
+        "continuous_bench_int8_s32c32_r256_specL8av16_dn30_kvw.json",
+        "continuous_bench_int8_s32c32_r256_specL8av16_kvw.json",
+    ]
+    acc_pts = []
+    for fname in acc_files:
+        path = os.path.join(args.serving_dir, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            if d.get("spec_tokens_per_verify"):
+                acc_pts.append(
+                    (d["spec_tokens_per_verify"], d["continuous_agg_tok_s"]))
+    plain_path = os.path.join(
+        args.serving_dir, "continuous_bench_int8_s32c32_r256.json")
+    if len(acc_pts) >= 3:
+        fig, ax = plt.subplots()
+        acc_pts.sort()
+        ax.plot([p[0] for p in acc_pts], [p[1] for p in acc_pts],
+                marker="o", markersize=5, color=COLOR_KV,
+                label="adaptive spec k=8 (std workload)")
+        for x, y in acc_pts:
+            ax.text(x, y + 60, f"{y:.0f}", ha="center", fontsize=7)
+        if os.path.exists(plain_path):
+            with open(plain_path) as f:
+                plain = json.load(f)["continuous_agg_tok_s"]
+            ax.axhline(plain, color=COLOR_NOKV, linestyle="--", linewidth=1,
+                       label=f"plain engine ({plain:.0f})")
+        ax.set_xlabel("Acceptance (emitted tokens / verify step)")
+        ax.set_ylabel("Useful tokens/sec (aggregate)")
+        ax.set_title("Serving Throughput vs Speculative Acceptance")
+        ax.legend(frameon=False, fontsize=8)
+        ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        save(fig, "fig9_acceptance")
+
+    # fig10: the round-4 shipped-config story — std/long workloads x
+    # {plain engine, shipped defaults (adaptive spec k=8 + kv window +
+    # packed host pipeline), shipped + opt-in a8 prefill}.
+    band_spec = {
+        "std\n(256 req, 16-128)": [
+            ("plain", "continuous_bench_int8_s32c32_r256.json"),
+            ("shipped", "continuous_bench_int8_s32c32_r256_specL8av16_kvw.json"),
+            ("+a8", "continuous_bench_int8_s32c32_r256_specL8av16_a8_kvw.json"),
+        ],
+        "long\n(96 req, 64-512)": [
+            ("plain", "continuous_bench_int8_s32c32_r96_long.json"),
+            ("shipped", "continuous_bench_int8_s32c32_r96_specL8av16_kvw_long.json"),
+            ("+a8", "continuous_bench_int8_s32c32_r96_specL8av16_a8_kvw_long.json"),
+        ],
+    }
+    series = {}
+    for wl, entries in band_spec.items():
+        for cfg_label, fname in entries:
+            path = os.path.join(args.serving_dir, fname)
+            if os.path.exists(path):
+                with open(path) as f:
+                    series.setdefault(cfg_label, {})[wl] = json.load(f)[
+                        "continuous_agg_tok_s"]
+    if len(series) >= 2:
+        fig, ax = plt.subplots()
+        wls = list(band_spec)
+        xs = np.arange(len(wls))
+        n = len(series)
+        w = 0.8 / n
+        colors = [COLOR_NOKV, COLOR_KV, "#7a2048"]
+        for i, (cfg_label, vals) in enumerate(series.items()):
+            off = (i - (n - 1) / 2) * w
+            ys = [vals.get(wl, 0) for wl in wls]
+            ax.bar(xs + off, ys, w, label=cfg_label, color=colors[i % 3])
+            for x, y in zip(xs + off, ys):
+                if y:
+                    ax.text(x, y, f"{y:.0f}", ha="center", va="bottom",
+                            fontsize=7)
+        ax.set_xticks(xs)
+        ax.set_xticklabels(wls, fontsize=9)
+        ax.set_ylabel("Useful tokens/sec (aggregate)")
+        ax.set_title("Shipped Serving Config by Workload (int8, 32 slots)")
+        ax.legend(frameon=False, fontsize=8)
+        ax.grid(True, alpha=0.3, axis="y")
+        fig.tight_layout()
+        save(fig, "fig10_serving_configs")
+
     print("\nResults summary:")
     print(f"  - Speedup range: {speedup.min():.1f}x to {speedup.max():.1f}x")
     kv_ms = np.asarray(data["kv_ms"], dtype=float)
