@@ -179,8 +179,9 @@ def main(argv=None):
 
     if args.only_cpu:
         jax.config.update("jax_platforms", "cpu")
-    if args.prefill_a8 and args.quant != "int8":
-        print("error: --prefill_a8 requires --quant int8", file=sys.stderr)
+    if args.prefill_a8 and args.quant not in ("int8", "w4a8"):
+        print("error: --prefill_a8 requires --quant int8 or w4a8",
+              file=sys.stderr)
         return 2
     from paligemma_tpu import runtime
 

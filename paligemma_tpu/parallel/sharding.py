@@ -105,6 +105,12 @@ def param_shardings(
         "llm": llm,
     }
     if params is not None:
+        # w4a8 trees carry int8 companions for large-row MLP calls
+        # (gemma._mlp); they inherit the base kernel's TP layout.
+        p_layers = params.get("llm", {}).get("layers", {})
+        for name, base in (("gate_up_i8", "gate_up"), ("down_i8", "down")):
+            if name in p_layers:
+                llm["layers"][name] = llm["layers"][base]
         tree = _expand_qtensor_shardings(tree, params, mesh)
     return tree
 

@@ -195,6 +195,16 @@ def quantize_params(
             layers[name] = quantize_tensor_w4a8_tiled(
                 params["llm"]["layers"][name], axis=1
             )
+            # int8 companions for LARGE-ROW calls (prefill ~272+ rows,
+            # serving verify at 32 slots x k tokens): the w4a8 kernels are
+            # GEMV-shaped — routing matrix-shaped calls through them made
+            # serving 27x slower than int8 (130 vs 3584 useful tok/s,
+            # measured r5). gemma._mlp picks the int8 GEMM path above
+            # MLP_FUSED_MAX_ROWS; the ~1.2 GB extra HBM at 3B still lands
+            # the tree well under the bf16 footprint.
+            layers[name + "_i8"] = quantize_tensor(
+                params["llm"]["layers"][name], axis=1
+            )
     llm["layers"] = layers
     # Per-row (V, 1) scales serve both the embedding lookup and the tied
     # lm_head; reuse the jitted kernel with axis=1.

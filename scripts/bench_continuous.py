@@ -84,7 +84,8 @@ def main():
                          "measure the adaptive engine's degradation floor")
     ap.add_argument("--prefill_a8", action="store_true",
                     help="both-operands-int8 MXU prefill projections "
-                         "(runtime.prefill_a8; int8 quant only)")
+                         "(runtime.prefill_a8; int8/w4a8 quant — w4a8's "
+                         "qkv/o and its int8 MLP companions all route)")
     ap.add_argument("--kv_quant", action="store_true",
                     help="int8 KV cache (per-row scales)")
     ap.add_argument("--kv_window", action="store_true",
@@ -110,8 +111,8 @@ def main():
     if args.trace:
         args.skip_coalesced = True
 
-    if args.prefill_a8 and args.quant != "int8":
-        ap.error("--prefill_a8 requires --quant int8")
+    if args.prefill_a8 and args.quant not in ("int8", "w4a8"):
+        ap.error("--prefill_a8 requires --quant int8 or w4a8")
     from paligemma_tpu import runtime
 
     # CLI is authoritative over the PALIGEMMA_PREFILL_A8 env default (a

@@ -1097,8 +1097,8 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    if args.prefill_a8 == "on" and args.quant != "int8":
-        raise SystemExit("--prefill_a8 on requires --quant int8")
+    if args.prefill_a8 == "on" and args.quant not in ("int8", "w4a8"):
+        raise SystemExit("--prefill_a8 on requires --quant int8 or w4a8")
     from paligemma_tpu import runtime
 
     # CLI is authoritative (set before warm-up traces anything): an explicit
