@@ -355,7 +355,13 @@ def _q4a8_kernel(x_ref, p_ref, s_ref, xs_ref, rs_ref, o_ref,
 
 # Default unpack variant for the real backend (set from the measured winner
 # in w4a8_kernel_bench.json; "and32" always compiles).
-UNPACK_MODE = "and32"
+# Hardware default for the in-kernel hi-nibble mask. All three non-ablation
+# modes are exact math; measured in the PRODUCTION stacked-MLP context
+# (w4a8_kernel_bench.json mlp arms, overhead-corrected ~us/layer):
+# and32+bo512 ~80, bitcast+bo1024 ~60 — the byte-local int32 mask avoids
+# the widen->mask->truncate VPU passes. Interpret mode (CPU tests) always
+# uses and32 (pltpu.bitcast is TPU-only).
+UNPACK_MODE = "bitcast"
 
 
 def q4a8_matmul(
@@ -536,10 +542,17 @@ class Q4A8TiledTensor(NamedTuple):
     """Pack-time-tiled w4a8 kernel (``pack_int4_mxu_tiled`` layout):
     packed (..., O/block_o, D/block_d, block_d, block_o/2) int8,
     scale (..., 1, O) fp32. The serving consumer is the fused MLP kernel
-    (``mlp_w4a8``) — one Pallas call per decoder layer instead of two."""
+    (``mlp_w4a8``) — one Pallas call per decoder layer instead of two.
+
+    ``scale2`` (stacked trees only): the (L, 2, O/2) regrouped form the
+    fused kernel consumes (``regroup_scales_stacked``), precomputed at
+    quantize time — computing it per traced forward put a 4.7 MB fp32
+    reshuffle INSIDE the decode while_loop (trace_decode_w4a8: reduce.99,
+    0.024 ms/token at 3B)."""
 
     packed: jnp.ndarray
     scale: jnp.ndarray
+    scale2: jnp.ndarray = None
 
 
 def _regroup_scales(scale: jnp.ndarray, nb_o: int, half: int) -> jnp.ndarray:

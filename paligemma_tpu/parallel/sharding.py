@@ -145,7 +145,10 @@ def _expand_qtensor_shardings(shard_tree, params, mesh: Mesh):
         if isinstance(p, QTensor):
             return QTensor(q=s, scale=scale_sharding(s, p.scale.shape))
         if isinstance(p, Q4A8TiledTensor):
-            return Q4A8TiledTensor(packed=rep, scale=rep)
+            return Q4A8TiledTensor(
+                packed=rep, scale=rep,
+                scale2=None if p.scale2 is None else rep,
+            )
         return s
 
     return jax.tree.map(

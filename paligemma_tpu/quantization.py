@@ -93,14 +93,27 @@ def quantize_tensor_w4a8_tiled(w: jnp.ndarray, axis: int):
     """w4a8 in the pack-time-tiled layout consumed by the fused MLP kernel
     (ops.pallas_quant.mlp_w4a8): one contiguous DMA tile per grid step."""
     from paligemma_tpu.ops.pallas_quant import (
-        Q4A8TiledTensor, pack_int4_mxu_tiled,
+        Q4A8TiledTensor, pack_int4_mxu_tiled, regroup_scales_stacked,
     )
 
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
-    return Q4A8TiledTensor(packed=pack_int4_mxu_tiled(q), scale=scale)
+    # block_o=1024 (1 MB DMA tiles, half the grid steps of the 512 default)
+    # measured fastest in the fused stacked-MLP kernel together with the
+    # bitcast unpack: ~60 vs ~80 us/layer at 3B (w4a8_kernel_bench.json mlp
+    # arms). VMEM stays within budget at the kernel's bt <= 64 row cap.
+    o = w.shape[-1]
+    packed = pack_int4_mxu_tiled(q, block_o=1024 if o % 1024 == 0 else 0)
+    # Stacked (L, in, out) trees: precompute the regrouped-scale form the
+    # fused MLP kernel consumes, so the decode loop never rebuilds it
+    # (it is NOT loop-hoisted by XLA: trace_decode_w4a8 reduce.99).
+    scale2 = (
+        regroup_scales_stacked(scale, packed.shape[1], packed.shape[4])
+        if w.ndim == 3 else None
+    )
+    return Q4A8TiledTensor(packed=packed, scale=scale, scale2=scale2)
 
 
 def qproj(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:

@@ -11,7 +11,8 @@ Caveat printed with the results: random-weight greedy text is often
 near-cyclic, which flatters acceptance vs real checkpoints; the honest
 headline claim is the measured ms/token AT the measured acceptance.
 
-Usage: python scripts/bench_spec.py [--quant int8] [--ks 4,8,16] [--tokens 256]
+Usage: python scripts/bench_spec.py [--quant int8|w4a8] [--ks 4,8,16]
+       [--tokens 256]
 
 ``--replay`` runs the ACCEPTANCE SENSITIVITY harness instead (VERDICT r3
 #4): every round-3 speculative throughput claim rides the random-weight
@@ -145,7 +146,8 @@ def run_replay(params, cfg, ids, pix, dtype, k, tokens, windows):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quant", choices=["bf16", "int8"], default="int8")
+    ap.add_argument("--quant", choices=["bf16", "int8", "w4a8"],
+                    default="int8")
     ap.add_argument("--ks", default="4,8,16")
     ap.add_argument("--tokens", type=int, default=256)
     ap.add_argument("--windows", type=int, default=3)
@@ -168,8 +170,8 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = paligemma.init_params(cfg, jax.random.PRNGKey(0), dtype)
     jax.block_until_ready(params)
-    if args.quant == "int8":
-        params = quantize_params(params, llm_only=True)
+    if args.quant in ("int8", "w4a8"):
+        params = quantize_params(params, llm_only=True, mode=args.quant)
         jax.block_until_ready(params)
     log(f"params ready ({args.quant})")
 

@@ -146,10 +146,49 @@ def mlp_arms(results, rng, dtype):
             xi, gu_packed, gu_s2, dn_packed, dn_s2, li, inter
         )
 
+    # Blocking / unpack variants of the production kernel. trace_decode_w4a8
+    # put the shipped config at 84 us/layer = 597 GB/s (vs ~750 achievable);
+    # candidates: halve the grid-step count with block_o=1024 (1 MB DMA
+    # blocks), or cheapen the in-kernel hi-nibble mask (bitcast/noop — noop
+    # is a wrong-math ablation that bounds the mask's cost).
+    gu_packed_b1k = jnp.asarray(
+        pack_int4_mxu_tiled(jnp.asarray(qg), block_o=1024))
+    dn_packed_b1k = jnp.asarray(
+        pack_int4_mxu_tiled(jnp.asarray(qd), block_o=1024))
+    gu_s2_b1k = regroup_scales_stacked(
+        gu_scale, gu_packed_b1k.shape[1], gu_packed_b1k.shape[4])
+    dn_s2_b1k = regroup_scales_stacked(
+        dn_scale, dn_packed_b1k.shape[1], dn_packed_b1k.shape[4])
+
+    def fused_stacked_bo1024(xi, li):
+        return mlp_w4a8_stacked(
+            xi, gu_packed_b1k, gu_s2_b1k, dn_packed_b1k, dn_s2_b1k, li, inter
+        )
+
+    def fused_stacked_bitcast(xi, li):
+        return mlp_w4a8_stacked(
+            xi, gu_packed, gu_s2, dn_packed, dn_s2, li, inter, "bitcast"
+        )
+
+    def fused_stacked_noop(xi, li):
+        return mlp_w4a8_stacked(
+            xi, gu_packed, gu_s2, dn_packed, dn_s2, li, inter, "noop"
+        )
+
+    def fused_stacked_bo1024_bitcast(xi, li):
+        return mlp_w4a8_stacked(
+            xi, gu_packed_b1k, gu_s2_b1k, dn_packed_b1k, dn_s2_b1k, li,
+            inter, "bitcast"
+        )
+
     arms = {
         "unfused_tiled_dyn": unfused,
         "fused_sliced_dyn": fused_sliced_dyn,
         "fused_stacked": fused_stacked,
+        "fused_stacked_bo1024": fused_stacked_bo1024,
+        "fused_stacked_bitcast": fused_stacked_bitcast,
+        "fused_stacked_noop": fused_stacked_noop,
+        "fused_stacked_bo1024_bitcast": fused_stacked_bo1024_bitcast,
     }
     loop_n = 32
     for arm, fn in arms.items():
