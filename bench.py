@@ -172,6 +172,30 @@ def main() -> None:
                 f"{identical}")
             if identical and tps_q > value:
                 value, pf, headline = tps_q, pf_q, f"{mode} serving config"
+            if mode == "w4a8":
+                # Sub-arm: 4-bit tied lm_head (runtime.lm_head_w4) — halves
+                # the 527 MB/token embedding stream on decode-shaped logits.
+                # Measured token-identical (int4_bench.json lmw4 arm); kept
+                # as a separate arm so a future identity miss falls back to
+                # plain w4a8 rather than int8.
+                from paligemma_tpu import runtime
+
+                runtime.lm_head_w4 = True
+                jax.clear_caches()
+                try:
+                    pf_l, tps_l, mspt_l, toks_l = measure(
+                        qparams, cfg, ids, pix, dtype)
+                    log(f"w4a8+lmw4: prefill {pf_l:.1f} ms | "
+                        f"{mspt_l:.2f} ms/token = {tps_l:.1f} tok/s")
+                    ident_l = toks_bf == toks_l
+                    log(f"w4a8+lmw4 vs bf16 token identity over "
+                        f"{len(toks_bf)} tokens: {ident_l}")
+                    if ident_l and tps_l > value:
+                        value, pf, headline = (
+                            tps_l, pf_l, "w4a8+lm_head_w4 serving config")
+                finally:
+                    runtime.lm_head_w4 = False
+                    jax.clear_caches()
             del qparams
         except Exception as e:  # pragma: no cover - environment failures
             log(f"{mode} arm failed ({e!r}); falling back")

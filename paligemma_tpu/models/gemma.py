@@ -626,10 +626,25 @@ def forward(
 
 
 def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Weight-tied lm_head, fp32 logits (reference: modeling_gemma.py:396-418)."""
+    """Weight-tied lm_head, fp32 logits (reference: modeling_gemma.py:396-418).
+
+    w4a8 trees optionally carry a 4-bit transposed copy of the embedding
+    (``embed_w4``) for decode-shaped calls — see runtime.lm_head_w4. The
+    GEMV kernel emits fp32 directly; pad vocab columns are sliced off."""
+    from paligemma_tpu import runtime
     from paligemma_tpu.quantization import QTensor
 
     emb = params["embed"]
+    w4 = params.get("embed_w4") if hasattr(params, "get") else None
+    rows = hidden.shape[0] * hidden.shape[1]
+    if w4 is not None and runtime.lm_head_w4 and rows <= 64:
+        from paligemma_tpu.ops.pallas_quant import q4a8_matmul_tiled
+
+        v = emb.q.shape[0] if isinstance(emb, QTensor) else emb.shape[0]
+        lg = q4a8_matmul_tiled(
+            hidden, w4.packed, w4.scale, out_dtype=jnp.float32
+        )
+        return lg[..., :v]
     if isinstance(emb, QTensor):
         lg = jnp.einsum(
             "btd,vd->btv", hidden, emb.q.astype(hidden.dtype),

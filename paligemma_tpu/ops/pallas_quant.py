@@ -499,11 +499,15 @@ def q4a8_matmul_tiled(
     packed: jnp.ndarray,
     scale: jnp.ndarray,
     unpack: str = "",
+    out_dtype=None,
 ) -> jnp.ndarray:
     """x (B, T, D) @ tiled w4a8 (nb_o, nb_d, block_d, half) -> (B, T, O).
 
     The serving-path w4a8 GEMV: contiguous weight tiles (full-rate DMA),
-    packed bytes directly on the MXU, one bitwise mask per packed byte."""
+    packed bytes directly on the MXU, one bitwise mask per packed byte.
+    ``out_dtype`` overrides the output dtype (the scale application is fp32
+    inside the kernel either way) — the w4 lm_head consumer needs fp32
+    logits (the parity invariant, reference modeling_gemma.py:396-418)."""
     b, t, d = x.shape
     nb_o, nb_d, block_d, half = packed.shape
     o = nb_o * 2 * half
@@ -529,7 +533,7 @@ def q4a8_matmul_tiled(
             pl.BlockSpec((b * t, 1), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((b * t, 2 * half), lambda i, j: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((b * t, o), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * t, o), out_dtype or x.dtype),
         scratch_shapes=[pltpu.VMEM((b * t, half), jnp.int32),
                         pltpu.VMEM((b * t, half), jnp.int32)],
         interpret=_interpret(),

@@ -111,6 +111,10 @@ def param_shardings(
         for name, base in (("gate_up_i8", "gate_up"), ("down_i8", "down")):
             if name in p_layers:
                 llm["layers"][name] = llm["layers"][base]
+        if "embed_w4" in params.get("llm", {}):
+            # Q4A8TiledTensor -> replicated by _expand_qtensor_shardings
+            # (same reasoning as the fused-MLP stacks).
+            llm["embed_w4"] = llm["embed"]
         tree = _expand_qtensor_shardings(tree, params, mesh)
     return tree
 

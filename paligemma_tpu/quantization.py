@@ -116,6 +116,36 @@ def quantize_tensor_w4a8_tiled(w: jnp.ndarray, axis: int):
     return Q4A8TiledTensor(packed=packed, scale=scale, scale2=scale2)
 
 
+@jax.jit
+def quantize_embed_w4(emb: jnp.ndarray):
+    """Tied lm_head at 4 bits: (V, D) embedding -> transposed, vocab-padded
+    ``Q4A8TiledTensor`` for the GEMV logits path (``gemma.logits`` routes
+    decode-shaped calls through ``ops.pallas_quant.q4a8_matmul_tiled`` when
+    ``runtime.lm_head_w4`` is set).
+
+    The lm_head streams the whole embedding every decode step — 527 MB at
+    int8, ~21% of the decode byte floor (REPORT.md lm_head section); 4 bits
+    halves it. Per-vocab-row int4 scales; V is padded to a multiple of 1024
+    so the pack keeps lane-aligned 1 MB DMA tiles (half=512) — pad columns
+    carry zero weights (zero logits) and the consumer slices them off.
+    This tensor serves ONLY the matmul; embedding lookups and matrix-shaped
+    logits keep the int8 row-gatherable QTensor."""
+    from paligemma_tpu.ops.pallas_quant import (
+        Q4A8TiledTensor, pack_int4_mxu_tiled,
+    )
+
+    v, d = emb.shape
+    wf = emb.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=1)
+    scale = jnp.maximum(amax, 1e-8) / 7.0  # (V,)
+    q = jnp.clip(jnp.round(wf / scale[:, None]), -7, 7).astype(jnp.int8)
+    vp = ((v + 1023) // 1024) * 1024
+    q_t = jnp.zeros((d, vp), jnp.int8).at[:, :v].set(q.T)
+    s_p = jnp.ones((1, vp), jnp.float32).at[0, :v].set(scale)
+    packed = pack_int4_mxu_tiled(q_t, block_o=1024)
+    return Q4A8TiledTensor(packed=packed, scale=s_p, scale2=None)
+
+
 def qproj(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     """x (B, T, in) @ QTensor (in, out) with output-channel rescale.
 
@@ -218,6 +248,10 @@ def quantize_params(
             layers[name + "_i8"] = quantize_tensor(
                 params["llm"]["layers"][name], axis=1
             )
+        # 4-bit tied lm_head (GEMV-shaped logits only; gated at trace time
+        # by runtime.lm_head_w4). +263 MB HBM at 3B next to the int8 embed
+        # the lookup/matrix paths keep.
+        llm["embed_w4"] = quantize_embed_w4(params["llm"]["embed"])
     llm["layers"] = layers
     # Per-row (V, 1) scales serve both the embedding lookup and the tied
     # lm_head; reuse the jitted kernel with axis=1.

@@ -48,6 +48,15 @@ prefill_a8: bool = os.environ.get("PALIGEMMA_PREFILL_A8", "0") == "1"
 # bandwidth-bound short programs (decode T=1, speculative verify T<=13).
 a8_min_seq: int = 32
 
+# Route decode-shaped logits (rows <= MLP_FUSED_MAX_ROWS) of a w4a8 tree
+# through the 4-bit tied-lm_head GEMV (quantization.quantize_embed_w4 +
+# ops.pallas_quant.q4a8_matmul_tiled): the lm_head streams 527 MB/token at
+# int8 (~28% of the w4a8 decode bytes); 4 bits halves it. Adds int4 weight +
+# int8 activation quantization error to the FINAL logits — token identity
+# vs bf16 is an empirical gate (int4_bench.json lm_head_w4 arm), hence a
+# flag. Matrix-shaped logits (verify, loss) keep the int8 einsum.
+lm_head_w4: bool = os.environ.get("PALIGEMMA_LMHEAD_W4", "0") == "1"
+
 
 def set_prefill_a8(enabled: bool) -> None:
     global prefill_a8

@@ -88,6 +88,25 @@ def main():
         results[f"{mode}_ms_per_tok"] = round(ms, 3)
         results[f"{mode}_token_agreement_vs_bf16"] = round(agree, 4)
         log(f"{mode}: {ms:.3f} ms/token, agreement {agree:.3f}")
+        if mode == "w4a8":
+            # 4-bit tied lm_head arm (runtime.lm_head_w4): halves the
+            # 527 MB/token embedding stream; agreement-vs-bf16 is the gate.
+            from paligemma_tpu import runtime
+
+            try:
+                runtime.lm_head_w4 = True
+                jax.clear_caches()
+                ms_l, toks_l = measure(qp, cfg, ids, pix, dtype)
+                agree_l = sum(
+                    a == b for a, b in zip(toks_l, toks_bf)
+                ) / len(toks_bf)
+                results["w4a8_lmw4_ms_per_tok"] = round(ms_l, 3)
+                results["w4a8_lmw4_token_agreement_vs_bf16"] = round(
+                    agree_l, 4)
+                log(f"w4a8+lmw4: {ms_l:.3f} ms/token, agreement {agree_l:.3f}")
+            finally:
+                runtime.lm_head_w4 = False
+                jax.clear_caches()
         if mode == "int4":
             # Negative control: XLA unpack+einsum materializes the unpacked
             # int8 tensor — quantifies what the in-kernel unpack saves.

@@ -273,6 +273,56 @@ def test_q4a8_tiled_pack_and_matmul_exact():
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+def test_lm_head_w4_logits_route():
+    """4-bit tied lm_head (runtime.lm_head_w4): quantize_embed_w4's padded
+    transposed pack + the GEMV logits route must (a) emit fp32, (b) slice
+    off the pad vocab columns, (c) match the int4xint8 integer oracle
+    exactly, and (d) leave matrix-shaped calls on the int8 einsum path."""
+    from paligemma_tpu import runtime
+    from paligemma_tpu.models import gemma
+    from paligemma_tpu.ops.pallas_quant import quantize_rows_s8
+    from paligemma_tpu.quantization import (
+        QTensor, quantize_embed_w4, quantize_tensor,
+    )
+
+    rng = np.random.RandomState(7)
+    v, d = 1000, 256  # pads to 1024 vocab columns
+    emb = jnp.asarray(rng.randn(v, d).astype(np.float32))
+    w4 = quantize_embed_w4(emb)
+    assert w4.packed.shape == (1, 1, d, 512)  # one 1024-col block
+    params = {"embed": quantize_tensor(emb, axis=1), "embed_w4": w4}
+
+    x = jnp.asarray(rng.randn(1, 2, d).astype(np.float32))
+    old = runtime.lm_head_w4
+    try:
+        runtime.lm_head_w4 = True
+        lg = gemma.logits(params, x)
+        assert lg.shape == (1, 2, v) and lg.dtype == jnp.float32
+
+        # integer oracle: per-row a8 activations x per-vocab-row int4
+        scale = np.maximum(np.abs(np.asarray(emb)).max(1), 1e-8) / 7.0
+        qw = np.clip(np.round(np.asarray(emb) / scale[:, None]), -7, 7)
+        xq, xs, _ = quantize_rows_s8(x.reshape(2, d))
+        ref = (np.asarray(xq, np.int32) @ qw.T.astype(np.int32))
+        ref = ref.astype(np.float32) * np.asarray(xs) * scale[None, :]
+        # Integer accumulation is exact; the hi-nibble 16x/\16 scale
+        # factoring differs from the oracle's multiply order by ~1 ulp.
+        np.testing.assert_allclose(np.asarray(lg)[0], ref, rtol=1e-6,
+                                   atol=1e-5)
+
+        # matrix-shaped call: stays on the exact int8 path (no a8 error)
+        xm = jnp.asarray(rng.randn(1, 65, d).astype(np.float32))
+        lg_m = gemma.logits(params, xm)
+        emb_q = params["embed"]
+        want = (xm @ emb_q.q.astype(xm.dtype).T).astype(jnp.float32)
+        want = want * emb_q.scale.reshape(1, 1, -1)
+        np.testing.assert_allclose(
+            np.asarray(lg_m), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+    finally:
+        runtime.lm_head_w4 = old
+
+
 def test_mlp_w4a8_fused_matches_unfused():
     """The one-kernel fused MLP (gate_up -> gelu-gate -> requant -> down)
     must match the unfused pair of tiled GEMV calls. Not bit-exact on the
