@@ -86,6 +86,10 @@ def main():
                     help="both-operands-int8 MXU prefill projections "
                          "(runtime.prefill_a8; int8/w4a8 quant — w4a8's "
                          "qkv/o and its int8 MLP companions all route)")
+    ap.add_argument("--lm_head_w4", action="store_true",
+                    help="4-bit tied lm_head on decode-shaped logits "
+                         "(runtime.lm_head_w4; w4a8 quant only — slot "
+                         "decode chunks at bt=32 route, verify stays int8)")
     ap.add_argument("--kv_quant", action="store_true",
                     help="int8 KV cache (per-row scales)")
     ap.add_argument("--kv_window", action="store_true",
@@ -119,6 +123,9 @@ def main():
     # stray env export must not poison un-flagged bench runs); set before
     # the first jit trace.
     runtime.set_prefill_a8(bool(args.prefill_a8))
+    if args.lm_head_w4 and args.quant != "w4a8":
+        ap.error("--lm_head_w4 requires --quant w4a8")
+    runtime.lm_head_w4 = bool(args.lm_head_w4)
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     if on_tpu:
@@ -291,6 +298,9 @@ def main():
     if args.prefill_a8:
         out["prefill_a8"] = True
         tag += "_a8"
+    if args.lm_head_w4:
+        out["lm_head_w4"] = True
+        tag += "_lmw4"
     if args.kv_quant:
         tag += "_kvq"
     if args.kv_window:

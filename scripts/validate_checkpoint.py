@@ -283,6 +283,44 @@ def run_checks(model_path: str, tokens: int, hf_mode: str, streaming_mode: str,
         if agree < 0.9:
             raise AssertionError(
                 f"w4a8 agreement {agree:.2f} < 0.9: {q[:8]} vs {base[:8]}")
+        state["w4a8_params"] = qparams
+        state["w4a8_base"] = base
+        return {"tokens_compared": n, "agreement": round(agree, 4),
+                "token_identical": base == q}
+
+    @guard("lm_head_w4_agreement")
+    def _lmw4():
+        # 4-bit tied lm_head on the w4a8 tree (runtime.lm_head_w4, the
+        # bench.py headline sub-arm): the FINAL logits carry int4 weight +
+        # int8 activation error, so real-checkpoint agreement is the one
+        # number synthetic weights can't settle. Same recorded-not-gated
+        # contract as w4a8 (identity measured 1.0 on the 3B geometry,
+        # int4_bench.json lmw4 arm).
+        if "w4a8_params" not in state:
+            raise SkipCheck("w4a8 check did not run")
+        import jax as _jax
+
+        from paligemma_tpu import generation, runtime
+
+        ids, pix = _inputs()
+        eos = state["proc"].tokenizer.eos_token_id or -1
+        kw = dict(max_new_tokens=tokens, eos_token_id=eos,
+                  cache_dtype=dtype, chunk=min(16, tokens))
+        base = state["w4a8_base"]
+        runtime.lm_head_w4 = True
+        _jax.clear_caches()
+        try:
+            q = generation.generate_chunked(
+                state["w4a8_params"], state["cfg"], ids, pix, **kw)
+        finally:
+            runtime.lm_head_w4 = False
+            _jax.clear_caches()
+        n = min(len(base), len(q))
+        agree = sum(a == b for a, b in zip(base[:n], q[:n])) / max(n, 1)
+        if agree < 0.9:
+            raise AssertionError(
+                f"lm_head_w4 agreement {agree:.2f} < 0.9: "
+                f"{q[:8]} vs {base[:8]}")
         return {"tokens_compared": n, "agreement": round(agree, 4),
                 "token_identical": base == q}
 

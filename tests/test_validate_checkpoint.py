@@ -136,11 +136,13 @@ def test_validate_checkpoint_harness(real_ckpt_dir, tmp_path, capsys):
     assert statuses == {
         "config": "pass", "tokenizer": "pass", "load": "pass",
         "logit_parity": "pass", "int8_identity": "pass",
-        "w4a8_agreement": "pass", "a8_prefill_agreement": "pass",
+        "w4a8_agreement": "pass", "lm_head_w4_agreement": "pass",
+        "a8_prefill_agreement": "pass",
         "lora_smoke": "pass",
     }, statuses
     # The quant checks measured real streams, not vacuous passes.
     assert report["checks"]["w4a8_agreement"]["agreement"] >= 0.9
+    assert report["checks"]["lm_head_w4_agreement"]["agreement"] >= 0.9
     assert "token_identical" in report["checks"]["a8_prefill_agreement"]
     # The parity check hit the 1e-3 bar, not a vacuous pass.
     assert report["checks"]["logit_parity"]["max_abs_logit_diff"] < 1e-3 * 10
