@@ -179,6 +179,8 @@ def main(argv=None):
         ("bf16\n8 slots", "continuous_bench.json"),
         ("int8\n8 slots", "continuous_bench_int8.json"),
         ("int8\n16 slots", "continuous_bench_int8_s16c32.json"),
+        ("int8\n32 slots", "continuous_bench_int8_s32c32_r256.json"),
+        ("w4a8\n32 slots", "continuous_bench_w4a8_s32c32_r256_kvw.json"),
     ]
     rows = []
     for label, fname in serving_files:
@@ -186,17 +188,21 @@ def main(argv=None):
         if os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
-            rows.append((label, d["coalesced_agg_tok_s"], d["continuous_agg_tok_s"]))
+            rows.append((label, d.get("coalesced_agg_tok_s"),
+                         d["continuous_agg_tok_s"]))
     if rows:
         fig, ax = plt.subplots()
         xs = np.arange(len(rows))
         w = 0.38
-        ax.bar(xs - w / 2, [r[1] for r in rows], w, label="Window coalescing",
-               color=COLOR_NOKV)
+        ax.bar([x - w / 2 for x, r in zip(xs, rows) if r[1] is not None],
+               [r[1] for r in rows if r[1] is not None], w,
+               label="Window coalescing", color=COLOR_NOKV)
         ax.bar(xs + w / 2, [r[2] for r in rows], w, label="Continuous batching",
                color=COLOR_KV)
         for i, (_, c, k) in enumerate(rows):
-            ax.text(i - w / 2, c, f"{c:.0f}", ha="center", va="bottom", fontsize=8)
+            if c is not None:
+                ax.text(i - w / 2, c, f"{c:.0f}", ha="center", va="bottom",
+                        fontsize=8)
             ax.text(i + w / 2, k, f"{k:.0f}", ha="center", va="bottom", fontsize=8)
         ax.set_xticks(xs)
         ax.set_xticklabels([r[0] for r in rows], fontsize=9)
