@@ -289,6 +289,9 @@ def main():
         if args.spec_adaptive:
             tag += "a"
     if args.spec_ks or args.spec_k:
+        if args.spec_drafter != "ngram":
+            out["spec_drafter"] = args.spec_drafter
+            tag += "_dLM"  # longest-match drafter arm (A/B vs default ngram)
         if args.spec_chunk and args.spec_chunk != args.chunk:
             out["spec_chunk"] = args.spec_chunk
             tag += f"v{args.spec_chunk}"
